@@ -1,0 +1,18 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+The driver benches on the single real TPU chip; tests exercise correctness
+and multi-chip sharding on the CPU backend (XLA semantics are identical).
+The axon TPU plugin in this image ignores the JAX_PLATFORMS env var, so we
+force the platform through jax.config before any device is touched.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
