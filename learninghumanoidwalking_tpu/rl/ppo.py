@@ -1,0 +1,498 @@
+"""On-device PPO (clip objective) — the TPU-native replacement for the
+reference's Ray-sampled PPO (/root/reference/rl/algos/ppo.py).
+
+The reference's architecture is: N CPU worker processes each stepping one
+MuJoCo env, a per-iteration weight broadcast + trajectory gather over the Ray
+object store, and a torch SGD loop (ppo.py:215-297,428-641). Here the entire
+iteration — rollout (scan over T, vmap over B envs), GAE, advantage
+normalization, and K epochs of minibatched clip updates with the
+mirror-symmetry and imitation losses — is ONE jitted function with zero
+host<->device transfer except scalar metrics. Multi-chip: the env batch is
+sharded over the mesh data axis and parameters are replicated; XLA inserts
+the gradient all-reduce (see parallel/mesh.py).
+
+Loss parity with the reference update (ppo.py:299-406): clipped surrogate,
+value MSE, entropy bonus, mirror loss pi(M_o s) vs M_a pi(s), imitation loss
+through a frozen expert, approximate reverse KL for logging, grad-norm clip
+0.5, separate Adam optimizers for actor and critic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from learninghumanoidwalking_tpu.envs.base import Env, EnvState
+from learninghumanoidwalking_tpu.rl import networks
+from learninghumanoidwalking_tpu.rl.gae import compute_gae
+from learninghumanoidwalking_tpu.rl.imitation import imitation_loss
+from learninghumanoidwalking_tpu.rl.mirror import obs_symmetry_matrix, symmetry_matrix
+from learninghumanoidwalking_tpu.rl.normalize import RunningNorm, init_norm, update_norm
+from flax import struct
+
+
+@dataclasses.dataclass
+class PPOConfig:
+    """Hyperparameters (defaults = reference run_experiment.py:156-200)."""
+
+    n_itr: int = 20000
+    lr: float = 3e-4
+    eps: float = 1e-5  # Adam epsilon
+    gamma: float = 0.99
+    lam: float = 0.95
+    std_dev: float = 0.223
+    learn_std: bool = False
+    entropy_coeff: float = 0.0
+    clip: float = 0.2
+    minibatch_size: int = 4096  # samples per minibatch (TPU-friendly default)
+    epochs: int = 3
+    num_envs: int = 512  # replaces num_procs: parallel env batch on device
+    rollout_len: int = 64  # steps per env per iteration
+    max_traj_len: int = 400  # episode truncation horizon
+    max_grad_norm: float = 0.5
+    mirror_coeff: float = 0.4
+    use_mirror: bool = True  # --no-mirror disables
+    imitate_coeff: float = 0.3
+    eval_freq: int = 100
+    recurrent: bool = False
+    input_norm_iters: int = 5  # obs-norm warmup iterations (ppo.py:441-457)
+    seed: int = 0
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.rollout_len
+
+
+@struct.dataclass
+class TrainState:
+    actor_params: Any
+    critic_params: Any
+    actor_opt: Any
+    critic_opt: Any
+    norm: RunningNorm
+    env_state: EnvState  # batched (num_envs leading dim)
+    key: jnp.ndarray
+    iteration: jnp.ndarray  # () int32
+
+
+@struct.dataclass
+class Batch:
+    obs: jnp.ndarray  # (T, B, O)
+    actions: jnp.ndarray  # (T, B, A)
+    log_probs: jnp.ndarray  # (T, B)
+    advantages: jnp.ndarray  # (T, B)
+    returns: jnp.ndarray  # (T, B)
+
+
+def _tree_where(pred: jnp.ndarray, a, b):
+    """Select pytree a where pred else b; pred is (B,) and leaves are (B, ...)."""
+
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+        return jnp.where(p, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+class PPO:
+    """PPO trainer bound to one env definition.
+
+    Construction mirrors reference PPO.__init__ (network setup, obs
+    normalization selection, expert/projector wiring); `train()` mirrors
+    PPO.train. All per-iteration compute is inside `self._train_iter` (jitted
+    once, reused every iteration).
+    """
+
+    def __init__(
+        self,
+        env: Env,
+        config: PPOConfig,
+        imitation_projector=None,
+        expert_apply: Callable | None = None,
+        expert_params=None,
+        mesh=None,
+    ):
+        self.env = env
+        self.cfg = config
+        self.mesh = mesh
+
+        self.actor_def = networks.GaussianActor(
+            action_dim=env.action_size,
+            init_std=config.std_dev,
+            learn_std=config.learn_std,
+            bounded=False,
+        )
+        self.critic_def = networks.Critic()
+
+        self.actor_tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=config.eps),
+        )
+        self.critic_tx = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.lr, eps=config.eps),
+        )
+
+        # mirror-symmetry matrices (SymmetricEnv equivalent)
+        self.obs_mirror = None
+        self.act_mirror = None
+        if config.use_mirror and env.mirrored_obs is not None:
+            self.obs_mirror = jnp.asarray(
+                obs_symmetry_matrix(env.mirrored_obs, env.clock_inds, env.history_len)
+            )
+            self.act_mirror = jnp.asarray(symmetry_matrix(env.mirrored_acts))
+
+        self.imitation_projector = imitation_projector
+        self.expert_apply = expert_apply
+        self.expert_params = expert_params
+
+        self._train_iter = jax.jit(self._train_iteration)
+        self._eval_iter = jax.jit(self._eval_rollout)
+        self._warmup_iter = jax.jit(self._warmup_iteration)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, key: jnp.ndarray) -> TrainState:
+        k_actor, k_critic, k_env, key = jax.random.split(key, 4)
+        dummy_obs = jnp.zeros((1, self.env.obs_size))
+        actor_params = self.actor_def.init(k_actor, dummy_obs)
+        critic_params = self.critic_def.init(k_critic, dummy_obs)
+
+        if self.env.obs_mean is not None:
+            norm = init_norm(None, self.env.obs_mean, self.env.obs_std)
+        else:
+            norm = init_norm((self.env.obs_size,))
+
+        env_keys = jax.random.split(k_env, self.cfg.num_envs)
+        env_state = jax.vmap(self.env.reset)(env_keys)
+        return TrainState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            actor_opt=self.actor_tx.init(actor_params),
+            critic_opt=self.critic_tx.init(critic_params),
+            norm=norm,
+            env_state=env_state,
+            key=key,
+            iteration=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    # --------------------------------------------------------------- rollout
+
+    def _policy(self, actor_params, norm, obs):
+        return self.actor_def.apply(actor_params, norm.normalize(obs))
+
+    def _value(self, critic_params, norm, obs):
+        return self.critic_def.apply(critic_params, norm.normalize(obs))
+
+    def _rollout(self, ts: TrainState, key, deterministic: bool):
+        """Scan rollout of cfg.rollout_len steps over the persistent env batch.
+
+        Episodes persist across iterations (reference rollout_worker.py:63-69)
+        and truncate at max_traj_len with a value bootstrap
+        (rollout_worker.py:162-167).
+        """
+        cfg = self.cfg
+
+        def step_fn(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = env_state.obs
+            mean, log_std = self._policy(ts.actor_params, ts.norm, obs)
+            if deterministic:
+                action = mean
+            else:
+                action = networks.gaussian_sample(k_act, mean, log_std)
+            log_prob = networks.gaussian_logp(mean, log_std, action)
+            value = self._value(ts.critic_params, ts.norm, obs)
+
+            stepped = jax.vmap(self.env.step)(env_state, action)
+            next_value = self._value(ts.critic_params, ts.norm, stepped.obs)
+
+            terminated = stepped.done
+            truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
+            done = jnp.logical_or(terminated, truncated)
+
+            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            next_state = _tree_where(done, reset_state, stepped)
+
+            out = dict(
+                obs=obs,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                next_value=next_value,
+                reward=stepped.reward,
+                terminated=terminated,
+                done=done,
+                ep_steps=stepped.steps,
+            )
+            return (next_state, key), out
+
+        (env_state, key), traj = jax.lax.scan(
+            step_fn, (ts.env_state, key), None, length=cfg.rollout_len
+        )
+        return env_state, key, traj
+
+    # ---------------------------------------------------------------- update
+
+    def _loss_fn(self, actor_params, critic_params, norm, mb, old_log_std_mean):
+        cfg = self.cfg
+        obs, actions, old_log_probs, advantages, returns = mb
+
+        mean, log_std = self._policy(actor_params, norm, obs)
+        log_probs = networks.gaussian_logp(mean, log_std, actions)
+        ratio = jnp.exp(log_probs - old_log_probs)
+
+        # clipped surrogate (ppo.py:310-320)
+        surr1 = ratio * advantages
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip, 1.0 + cfg.clip) * advantages
+        actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+        clip_fraction = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip).astype(jnp.float32))
+
+        values = self.critic_def.apply(critic_params, norm.normalize(obs))
+        critic_loss = jnp.mean(jnp.square(returns - values))
+
+        entropy = jnp.mean(networks.gaussian_entropy(log_std))
+
+        # mirror symmetry loss (ppo.py:345-358)
+        if self.obs_mirror is not None:
+            mir_mean, _ = self._policy(actor_params, norm, obs @ self.obs_mirror.T)
+            mirror_loss = jnp.mean(jnp.square(mean - mir_mean @ self.act_mirror.T))
+        else:
+            mirror_loss = jnp.zeros(())
+
+        # imitation loss via frozen expert (ppo.py:361-368)
+        if self.imitation_projector is not None:
+            query = self.imitation_projector(obs)
+            expert_mean = self.expert_apply(self.expert_params, query.expert_obs)
+            imit_loss = imitation_loss(query, mean, expert_mean)
+        else:
+            imit_loss = jnp.zeros(())
+
+        # approximate reverse KL for logging (ppo.py:370-376)
+        log_ratio = log_probs - old_log_probs
+        approx_kl = jnp.mean((ratio - 1.0) - log_ratio)
+
+        total = (
+            actor_loss
+            + cfg.mirror_coeff * mirror_loss
+            + cfg.imitate_coeff * imit_loss
+            - cfg.entropy_coeff * entropy
+            + critic_loss
+        )
+        aux = dict(
+            actor_loss=actor_loss,
+            critic_loss=critic_loss,
+            entropy=entropy,
+            mirror_loss=mirror_loss,
+            imitation_loss=imit_loss,
+            approx_kl=approx_kl,
+            clip_fraction=clip_fraction,
+        )
+        return total, aux
+
+    def _update(self, ts: TrainState, batch: Batch, key):
+        cfg = self.cfg
+        n = cfg.batch_size
+        mb_size = min(cfg.minibatch_size, n)
+        n_mb = max(n // mb_size, 1)
+
+        flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), batch)
+
+        def epoch_fn(carry, key_epoch):
+            actor_params, critic_params, actor_opt, critic_opt = carry
+            perm = jax.random.permutation(key_epoch, n)[: n_mb * mb_size].reshape(n_mb, mb_size)
+
+            def mb_fn(carry, idx):
+                actor_params, critic_params, actor_opt, critic_opt = carry
+                mb = (
+                    flat.obs[idx],
+                    flat.actions[idx],
+                    flat.log_probs[idx],
+                    flat.advantages[idx],
+                    flat.returns[idx],
+                )
+                grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
+                (loss, aux), (a_grad, c_grad) = grad_fn(
+                    actor_params, critic_params, ts.norm, mb, None
+                )
+                a_updates, actor_opt = self.actor_tx.update(a_grad, actor_opt, actor_params)
+                actor_params = optax.apply_updates(actor_params, a_updates)
+                c_updates, critic_opt = self.critic_tx.update(c_grad, critic_opt, critic_params)
+                critic_params = optax.apply_updates(critic_params, c_updates)
+                return (actor_params, critic_params, actor_opt, critic_opt), aux
+
+            carry, auxes = jax.lax.scan(mb_fn, carry, perm)
+            return carry, jax.tree.map(jnp.mean, auxes)
+
+        keys = jax.random.split(key, cfg.epochs)
+        carry = (ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt)
+        (actor_params, critic_params, actor_opt, critic_opt), auxes = jax.lax.scan(
+            epoch_fn, carry, keys
+        )
+        aux = jax.tree.map(jnp.mean, auxes)
+        return (
+            ts.replace(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                actor_opt=actor_opt,
+                critic_opt=critic_opt,
+            ),
+            aux,
+        )
+
+    # ------------------------------------------------------------- iteration
+
+    def _train_iteration(self, ts: TrainState):
+        key, k_roll, k_upd = jax.random.split(ts.key, 3)
+        env_state, _, traj = self._rollout(ts, k_roll, deterministic=False)
+
+        advantages, returns = compute_gae(
+            traj["reward"],
+            traj["value"],
+            traj["next_value"],
+            traj["terminated"],
+            traj["done"],
+            self.cfg.gamma,
+            self.cfg.lam,
+        )
+        # normalize advantages over the whole batch (ppo.py:484-485)
+        advantages = (advantages - jnp.mean(advantages)) / (jnp.std(advantages) + 1e-5)
+
+        batch = Batch(
+            obs=traj["obs"],
+            actions=traj["action"],
+            log_probs=traj["log_prob"],
+            advantages=advantages,
+            returns=returns,
+        )
+        ts = ts.replace(env_state=env_state, key=key, iteration=ts.iteration + 1)
+        ts = ts.replace(env_state=ts.env_state.replace(iteration=jnp.broadcast_to(ts.iteration, (self.cfg.num_envs,))))
+        ts, aux = self._update(ts, batch, k_upd)
+
+        done_f = traj["done"].astype(jnp.float32)
+        n_done = jnp.sum(done_f)
+        ep_reward_proxy = jnp.sum(traj["reward"]) / jnp.maximum(jnp.sum(done_f), 1.0)
+        metrics = dict(
+            mean_reward=jnp.mean(traj["reward"]),
+            mean_episode_length=jnp.sum(done_f * traj["ep_steps"]) / jnp.maximum(n_done, 1.0),
+            episodes_finished=n_done,
+            episode_reward=ep_reward_proxy,
+            **aux,
+        )
+        _, log_std = self._policy(ts.actor_params, ts.norm, batch.obs[0, :1])
+        metrics["mean_noise_std"] = jnp.mean(jnp.exp(log_std))
+        return ts, metrics
+
+    def _warmup_iteration(self, ts: TrainState):
+        """Obs-norm warmup: rollout + Welford update, no learning."""
+        key, k_roll = jax.random.split(ts.key)
+        env_state, _, traj = self._rollout(ts, k_roll, deterministic=False)
+        norm = update_norm(ts.norm, traj["obs"])
+        return ts.replace(env_state=env_state, key=key, norm=norm)
+
+    def _eval_rollout(self, ts: TrainState, key):
+        """Deterministic evaluation from fresh resets (reference evaluate(),
+        ppo.py:408-426: deterministic batches -> mean episode reward)."""
+        cfg = self.cfg
+        k_env, k_roll = jax.random.split(key)
+        env_keys = jax.random.split(k_env, cfg.num_envs)
+        env_state = jax.vmap(self.env.reset)(env_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+
+        def step_fn(carry, _):
+            env_state, ep_ret, ep_len, ret_acc, len_acc, cnt = carry
+            mean, _ = self._policy(ts.actor_params, ts.norm, env_state.obs)
+            stepped = jax.vmap(self.env.step)(env_state, mean)
+            terminated = stepped.done
+            truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
+            done = jnp.logical_or(terminated, truncated)
+            ep_ret = ep_ret + stepped.reward
+            ep_len = ep_len + 1.0
+            ret_acc = ret_acc + jnp.sum(jnp.where(done, ep_ret, 0.0))
+            len_acc = len_acc + jnp.sum(jnp.where(done, ep_len, 0.0))
+            cnt = cnt + jnp.sum(done.astype(jnp.float32))
+            ep_ret = jnp.where(done, 0.0, ep_ret)
+            ep_len = jnp.where(done, 0.0, ep_len)
+            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            env_state = _tree_where(done, reset_state, stepped)
+            return (env_state, ep_ret, ep_len, ret_acc, len_acc, cnt), None
+
+        zeros = jnp.zeros((cfg.num_envs,))
+        (env_state, ep_ret, ep_len, ret_acc, len_acc, cnt), _ = jax.lax.scan(
+            step_fn,
+            (env_state, zeros, zeros, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+            None,
+            length=cfg.max_traj_len,
+        )
+        # include unfinished episodes (ran the full horizon)
+        ret_acc = ret_acc + jnp.sum(ep_ret)
+        len_acc = len_acc + jnp.sum(ep_len)
+        cnt = cnt + jnp.sum((ep_len > 0).astype(jnp.float32))
+        return dict(eval_mean_reward=ret_acc / jnp.maximum(cnt, 1.0), eval_mean_episode_length=len_acc / jnp.maximum(cnt, 1.0))
+
+    # ----------------------------------------------------------------- train
+
+    def train(
+        self,
+        n_itr: int | None = None,
+        seed: int | None = None,
+        logger=None,
+        checkpointer=None,
+        init_ts: TrainState | None = None,
+        verbose: bool = True,
+    ) -> TrainState:
+        cfg = self.cfg
+        n_itr = n_itr if n_itr is not None else cfg.n_itr
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        ts = init_ts if init_ts is not None else self.init_state(key)
+
+        # observation-normalization warmup (running-norm envs only)
+        if self.env.obs_mean is None:
+            for _ in range(cfg.input_norm_iters):
+                ts = self._warmup_iter(ts)
+
+        start = time.time()
+        best_eval = -np.inf
+        for itr in range(n_itr):
+            t0 = time.time()
+            ts, metrics = self._train_iter(ts)
+            metrics = {k: float(v) for k, v in jax.tree.map(jnp.asarray, metrics).items()}
+            iter_time = time.time() - t0
+            fps = cfg.batch_size / max(iter_time, 1e-9)
+
+            if verbose:
+                print(
+                    f"itr {itr:5d} | reward/step {metrics['mean_reward']:.3f} | "
+                    f"ep_len {metrics['mean_episode_length']:.1f} | "
+                    f"actor {metrics['actor_loss']:.4f} | critic {metrics['critic_loss']:.4f} | "
+                    f"kl {metrics['approx_kl']:.4f} | fps {fps:,.0f}",
+                    flush=True,
+                )
+            if logger is not None:
+                logger.log_training(itr, metrics)
+                logger.log_timing(itr, fps=fps, sample_time=iter_time, optimize_time=0.0, total_elapsed=time.time() - start)
+
+            if (itr % cfg.eval_freq == 0) or (itr == n_itr - 1):
+                ts2, k_eval = ts, jax.random.fold_in(ts.key, itr)
+                eval_metrics = {k: float(v) for k, v in self._eval_iter(ts2, k_eval).items()}
+                if verbose:
+                    print(
+                        f"  eval @ {itr}: reward {eval_metrics['eval_mean_reward']:.2f} "
+                        f"len {eval_metrics['eval_mean_episode_length']:.1f}",
+                        flush=True,
+                    )
+                if logger is not None:
+                    logger.log_eval(itr, eval_metrics)
+                if checkpointer is not None:
+                    is_best = eval_metrics["eval_mean_reward"] > best_eval
+                    best_eval = max(best_eval, eval_metrics["eval_mean_reward"])
+                    checkpointer.save(itr, ts, metrics=eval_metrics, is_best=is_best)
+        return ts
