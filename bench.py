@@ -1,0 +1,63 @@
+"""Throughput benchmark: env steps/sec on the jvrc_walk hot path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured quantity is the full on-device sampling path (policy forward +
+25 PD+physics substeps per control step + task/reward/obs + auto-reset) for a
+batch of jvrc_walk humanoids — the TPU replacement for the reference's
+Ray-worker sampling loop whose fps it logs per iteration
+(/root/reference/rl/algos/ppo.py:587-595). The reference publishes no numbers
+(BASELINE.md); vs_baseline is measured against the driver-set north star of
+10M env steps/s (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+NUM_ENVS = 4096
+ROLLOUT_LEN = 16
+BASELINE_TARGET = 10_000_000.0  # env steps/s north star (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from learninghumanoidwalking_tpu.envs import make_env
+    from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig
+
+    env = make_env("jvrc_walk")
+    cfg = PPOConfig(num_envs=NUM_ENVS, rollout_len=ROLLOUT_LEN, minibatch_size=8192, max_traj_len=400)
+    ppo = PPO(env, cfg)
+    ts = ppo.init_state(jax.random.PRNGKey(0))
+
+    rollout = jax.jit(lambda ts, key: ppo._rollout(ts, key, False)[2]["reward"].sum())
+
+    key = jax.random.PRNGKey(1)
+    # compile + warm up
+    rollout(ts, key).block_until_ready()
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        rollout(ts, jax.random.fold_in(key, i)).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    steps = NUM_ENVS * ROLLOUT_LEN * n_iters
+    sps = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"jvrc_walk env steps/sec ({NUM_ENVS} envs, single chip)",
+                "value": round(sps, 1),
+                "unit": "env_steps/s",
+                "vs_baseline": round(sps / BASELINE_TARGET, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,332 @@
+"""Shared machinery for humanoid environments.
+
+Functional re-design of /root/reference/envs/common/base_humanoid_env.py +
+domain_randomization.py: action smoothing, nominal-pose offsets, PD substep
+loop, observation history, observation/initialization noise, stochastic
+dynamics randomization and perturbation wrenches — all pure functions of
+(EnvState, action, PRNG key), with model-mutation DR re-expressed as per-env
+DynParams state.
+
+Subclasses provide the robot model, config, task hooks, and observation
+layout; this class provides reset/step plumbing and the state-gathering
+helpers the reward functions consume (GRF per foot, foot speeds, local root
+velocity, self-collision flag — the RobotInterface surface of
+/root/reference/envs/common/robot_interface.py used by the tasks).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from learninghumanoidwalking_tpu.envs.base import Env, EnvState
+from learninghumanoidwalking_tpu.physics import engine
+from learninghumanoidwalking_tpu.physics.model import DynParams, default_dyn_params
+from learninghumanoidwalking_tpu.robots.pd import pd_substeps
+from learninghumanoidwalking_tpu.utils import load_yaml, maths
+
+CONFIG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+class HumanoidEnv(Env):
+    """Base for H1/JVRC envs. Subclass contract:
+
+    __init__ must set: model, cfg, kp, kd (jnp (nu,)), nominal_qpos (np (nq,)),
+    ROOT_BODY/HEAD_BODY names, reward_names, then call _finalize().
+    Hooks: _task_reset(key) -> task pytree; _task_step(key, task) -> task;
+    _reward(state, stepped_physics, task, target) -> components vector;
+    _done(physics) -> bool; _external_obs(task) -> array (may be empty);
+    optionally _terrain(task) -> engine.Terrain.
+    """
+
+    ROOT_BODY = "pelvis"
+    HEAD_BODY = "torso_link"
+    include_torque_obs = False
+
+    # ------------------------------------------------------------- finalize
+
+    def _finalize(self) -> None:
+        m = self.model
+        cfg = self.cfg
+        self.sim_dt = float(cfg.sim_dt)
+        self.control_dt = float(cfg.control_dt)
+        self.frame_skip = int(round(self.control_dt / self.sim_dt))
+        self.history_len = int(cfg.obs_history_len or 1)
+        self.action_smoothing = float(cfg.action_smoothing or 0.5)
+        self.action_size = m.nu
+
+        self.root_idx = m.body_names.index(self.ROOT_BODY)
+        self.head_idx = m.body_names.index(self.HEAD_BODY)
+        lfoot = set(m.left_foot_geoms)
+        rfoot = set(m.right_foot_geoms)
+        self.lfoot_idx = m.body_names.index(self.LFOOT_BODY)
+        self.rfoot_idx = m.body_names.index(self.RFOOT_BODY)
+        # static contact-slot -> foot masks (4 slots per foot geom)
+        slot_geoms = []
+        for gi in m.foot_geoms:
+            slot_geoms += [gi] * 4
+        self._lslot = jnp.asarray([1.0 if g in lfoot else 0.0 for g in slot_geoms])
+        self._rslot = jnp.asarray([1.0 if g in rfoot else 0.0 for g in slot_geoms])
+
+        self.act_qpos = jnp.asarray(m.actuator_qpos)
+        self.act_dof = jnp.asarray(m.actuator_dof)
+        self.neutral_pose = jnp.asarray(self.nominal_qpos[np.asarray(m.actuator_qpos)])
+        self.robot_mass = float(np.sum(np.asarray(m.body_mass)))
+
+        nrobot = 5 + 2 * m.nu + (m.nu if self.include_torque_obs else 0)
+        self.robot_state_len = nrobot
+        self.base_obs_len = nrobot + self.num_external_obs
+        self.obs_size = self.base_obs_len * self.history_len
+
+        # domain randomization intervals (base_humanoid_env.py:77-94)
+        dyn_cfg = cfg.dynamics_randomization
+        self.dynrand_interval = (
+            int(float(dyn_cfg.interval) / self.control_dt) if (dyn_cfg and dyn_cfg.enable) else 0
+        )
+        pert_cfg = cfg.perturbation
+        self.perturb_interval = (
+            int(float(pert_cfg.interval) / self.control_dt) if (pert_cfg and pert_cfg.enable) else 0
+        )
+        if pert_cfg and pert_cfg.enable:
+            self.perturb_bodies = tuple(
+                m.body_names.index(b) for b in pert_cfg.bodies if b in m.body_names
+            )
+            self.perturb_force = float(pert_cfg.force_magnitude)
+            self.perturb_torque = float(pert_cfg.torque_magnitude)
+        else:
+            self.perturb_bodies = ()
+
+        # observation noise (applied per obs group, h1 base.yaml:40-49)
+        noise_cfg = cfg.observation_noise
+        self.obs_noise_enabled = bool(noise_cfg and noise_cfg.enabled)
+        if self.obs_noise_enabled:
+            mult = float(noise_cfg.multiplier or 1.0)
+            s = noise_cfg.scales
+            self.noise_type = str(noise_cfg.type or "uniform")
+            scale_vec = np.zeros(nrobot, dtype=np.float32)
+            scale_vec[0:2] = float(s.root_orient or 0.0) * mult
+            scale_vec[2:5] = float(s.root_ang_vel or 0.0) * mult
+            scale_vec[5 : 5 + m.nu] = float(s.motor_pos or 0.0) * mult
+            scale_vec[5 + m.nu : 5 + 2 * m.nu] = float(s.motor_vel or 0.0) * mult
+            if self.include_torque_obs:
+                scale_vec[5 + 2 * m.nu :] = float(s.motor_tau or 0.0) * mult
+            self.obs_noise_scale = jnp.asarray(scale_vec)
+
+        self.init_noise = float(cfg.init_noise) if cfg.init_noise else 0.0
+
+    # --------------------------------------------------------------- gather
+
+    def _foot_grf(self, physics) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-foot ground reaction force magnitude: sum over that foot's
+        active contact slots of |f| (robot_interface.py:303-325)."""
+        fmag = jnp.linalg.norm(physics.contact.force, axis=-1) * physics.contact.mask
+        return jnp.sum(fmag * self._lslot), jnp.sum(fmag * self._rslot)
+
+    def _contact_point_z(self, physics) -> jnp.ndarray:
+        """Lowest active contact z, 0 when airborne (walking_task.py:102-107)."""
+        mask = physics.contact.mask > 0
+        z = jnp.where(mask, physics.contact.pos[:, 2], 1e3)
+        return jnp.where(jnp.any(mask), jnp.min(z), 0.0)
+
+    def _root_local_vel_xy(self, physics) -> jnp.ndarray:
+        v_world = physics.body_vel_world(self.root_idx)
+        q = physics.xquat[self.root_idx]
+        return maths.quat_rotate_inv(q, v_world)[:2]
+
+    def _motor_pos(self, physics) -> jnp.ndarray:
+        return physics.qpos[self.act_qpos]
+
+    def _motor_vel(self, physics) -> jnp.ndarray:
+        return physics.qvel[self.act_dof]
+
+    # ---------------------------------------------------------------- state
+
+    def _robot_state(self, physics, key) -> jnp.ndarray:
+        """roll, pitch, root angular velocity, motor pos/vel (+ torques),
+        with optional per-group observation noise
+        (jvrc_base.py:133-138, h1_base.py:100-125)."""
+        rpy = maths.quat_to_rpy(physics.qpos[3:7])
+        parts = [rpy[:2], physics.qvel[3:6], self._motor_pos(physics), self._motor_vel(physics)]
+        if self.include_torque_obs:
+            parts.append(physics.act_torque)
+        state = jnp.concatenate(parts)
+        if self.obs_noise_enabled:
+            if self.noise_type == "gaussian":
+                noise = jax.random.normal(key, state.shape) * self.obs_noise_scale
+            else:
+                noise = jax.random.uniform(key, state.shape, minval=-1.0, maxval=1.0) * self.obs_noise_scale
+            state = state + noise
+        return state
+
+    # ------------------------------------------------- domain randomization
+
+    def _sample_dynamics(self, key) -> DynParams:
+        """Per-env dynamics randomization (domain_randomization.py:29-56):
+        actuated-joint frictionloss ~ U(0,2) and damping ~ U(0.02,2), body
+        mass x U(0.95,1.05), CoM ipos +- 1 cm, all vs model defaults."""
+        m = self.model
+        base = default_dyn_params(m, self.kp, self.kd)
+        if self.dynrand_interval == 0:
+            return base
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        fl = jax.random.uniform(k1, (m.nv,), minval=0.0, maxval=2.0)
+        dp = jax.random.uniform(k2, (m.nv,), minval=0.02, maxval=2.0)
+        act_mask = jnp.zeros(m.nv).at[self.act_dof].set(1.0)
+        mass_scale = jax.random.uniform(k3, (m.nbody,), minval=0.95, maxval=1.05)
+        ipos_off = jax.random.uniform(k4, (m.nbody, 3), minval=-0.01, maxval=0.01)
+        return base.replace(
+            dof_frictionloss=jnp.where(act_mask > 0, fl, base.dof_frictionloss),
+            dof_damping=jnp.where(act_mask > 0, dp, base.dof_damping),
+            body_mass=base.body_mass * mass_scale,
+            body_ipos=base.body_ipos + ipos_off * (base.body_mass[:, None] > 0),
+        )
+
+    def _sample_perturbation(self, key, dyn: DynParams) -> DynParams:
+        """Random persistent wrench on configured bodies, 50% chance zeroed
+        immediately (domain_randomization.py:10-26)."""
+        if not self.perturb_bodies:
+            return dyn
+        keys = jax.random.split(key, len(self.perturb_bodies) + 1)
+        xfrc = jnp.zeros_like(dyn.xfrc)
+        for i, b in enumerate(self.perturb_bodies):
+            kf, kt, kz = jax.random.split(keys[i], 3)
+            frc = jax.random.uniform(kf, (3,), minval=-self.perturb_force, maxval=self.perturb_force)
+            tau = jax.random.uniform(kt, (3,), minval=-self.perturb_torque, maxval=self.perturb_torque)
+            zero = jax.random.bernoulli(kz, 0.5)
+            wrench = jnp.where(zero, 0.0, 1.0) * jnp.concatenate([frc, tau])
+            xfrc = xfrc.at[b].set(wrench)
+        return dyn.replace(xfrc=xfrc)
+
+    # ----------------------------------------------------------------- reset
+
+    def reset(self, key: jnp.ndarray, iteration=None) -> EnvState:
+        m = self.model
+        k_dyn, k_noise, k_task, k_obs, key = jax.random.split(key, 5)
+
+        dyn = self._sample_dynamics(k_dyn)
+
+        qpos = jnp.asarray(self.nominal_qpos, dtype=jnp.float32)
+        if self.init_noise > 0:
+            c = self.init_noise * jnp.pi / 180.0
+            kz, kr, kj = jax.random.split(k_noise, 3)
+            # root height + U(0, 0.02); root roll/pitch +- c; joints +- c
+            # (base_humanoid_env.py:278-305)
+            qpos = qpos.at[2].add(jax.random.uniform(kz, (), minval=0.0, maxval=0.02))
+            rp = jax.random.uniform(kr, (2,), minval=-c, maxval=c)
+            quat = maths.rpy_to_quat(jnp.concatenate([rp, jnp.zeros(1)]))
+            qpos = jax.lax.dynamic_update_slice(qpos, quat, (3,))
+            jn = jax.random.uniform(kj, (m.nu,), minval=-c, maxval=c)
+            qpos = qpos.at[self.act_qpos].add(jn)
+
+        physics = engine.make_state(m, qpos, jnp.zeros(m.nv))
+        task = self._task_reset(k_task, iteration, physics)
+        terrain = self._terrain(task)
+
+        # settle: a few zero-torque substeps to relax initial contact forces
+        # (base_humanoid_env.py:267-269)
+        def settle(physics, _):
+            return engine.step(m, dyn, physics, jnp.zeros(m.nu), self.sim_dt, terrain), None
+
+        physics, _ = jax.lax.scan(settle, physics, None, length=3)
+
+        robot_state = self._robot_state(physics, k_obs)
+        base_obs = jnp.concatenate([robot_state, self._external_obs(task)])
+        obs_history = jnp.zeros((self.history_len, self.base_obs_len)).at[0].set(base_obs)
+
+        if iteration is None:
+            iteration = jnp.zeros((), dtype=jnp.int32)
+        return EnvState(
+            physics=physics,
+            dyn=dyn,
+            task=task,
+            obs=obs_history.reshape(-1),
+            obs_history=obs_history,
+            prev_prediction=jnp.zeros(m.nu),
+            prev_action=self.neutral_pose,
+            prev_torque=jnp.zeros(m.nu),
+            reward=jnp.zeros(()),
+            reward_components=jnp.zeros(len(self.reward_names)),
+            done=jnp.zeros((), dtype=bool),
+            steps=jnp.zeros((), dtype=jnp.int32),
+            iteration=jnp.asarray(iteration, dtype=jnp.int32),
+            key=key,
+        )
+
+    # ------------------------------------------------------------------ step
+
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        m = self.model
+        k_task, k_obs, k_dyn, k_pert, k_ev, key = jax.random.split(state.key, 6)
+
+        # action smoothing + nominal-pose offsets
+        # (base_humanoid_env.py:199-216, robot_base.py:74-80)
+        targets = self.action_smoothing * action + (1.0 - self.action_smoothing) * state.prev_prediction
+        full_target = targets + self.neutral_pose
+
+        terrain = self._terrain(state.task)
+        physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
+
+        task = self._task_step(k_task, state.task, physics)
+        components = self._reward(state, physics, task, full_target)
+        done = self._done(physics)
+
+        robot_state = self._robot_state(physics, k_obs)
+        base_obs = jnp.concatenate([robot_state, self._external_obs(task)])
+        obs_history, obs = self.stack_history(state.obs_history, base_obs)
+
+        # stochastic DR events (base_humanoid_env.py:221-225)
+        dyn = state.dyn
+        ev1, ev2 = jax.random.split(k_ev)
+        if self.dynrand_interval > 0:
+            hit = jax.random.randint(ev1, (), 0, self.dynrand_interval) == 0
+            new_dyn = self._sample_dynamics(k_dyn)
+            dyn = jax.tree.map(lambda a, b: jnp.where(hit, a, b), new_dyn, dyn)
+        if self.perturb_interval > 0 and self.perturb_bodies:
+            hit = jax.random.randint(ev2, (), 0, self.perturb_interval) == 0
+            new_dyn = self._sample_perturbation(k_pert, dyn)
+            dyn = jax.tree.map(lambda a, b: jnp.where(hit, a, b), new_dyn, dyn)
+
+        return state.replace(
+            physics=physics,
+            dyn=dyn,
+            task=task,
+            obs=obs,
+            obs_history=obs_history,
+            prev_prediction=action,
+            prev_action=full_target,
+            prev_torque=physics.act_torque,
+            reward=jnp.sum(components),
+            reward_components=components,
+            done=done,
+            steps=state.steps + 1,
+            key=key,
+        )
+
+    # ----------------------------------------------------- hooks (override)
+
+    num_external_obs = 0
+
+    def _task_reset(self, key, iteration, physics):
+        return None
+
+    def _task_step(self, key, task, physics):
+        return task
+
+    def _external_obs(self, task) -> jnp.ndarray:
+        return jnp.zeros((0,))
+
+    def _terrain(self, task):
+        return None
+
+    def _reward(self, state, physics, task, target) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def _done(self, physics) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+def load_config(name: str, path_to_yaml: str | None):
+    return load_yaml(path_to_yaml or os.path.join(CONFIG_DIR, name))

@@ -227,10 +227,28 @@ def geom_world_pose(
     return pos, quat
 
 
+def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
+    """Terrain support height under a world xy point: max of the floor plane
+    and the top faces of all terrain boxes whose (yaw-rotated) footprint
+    contains the point. This is the TPU-native encoding of the reference's
+    20 repositionable terrain box bodies (stepping_task.py:320-334): box sides
+    are not collidable, only the walking surfaces."""
+    if terrain is None:
+        return jnp.zeros(())
+    c, s = jnp.cos(terrain.yaw), jnp.sin(terrain.yaw)
+    dx = xy[0] - terrain.pos[:, 0]
+    dy = xy[1] - terrain.pos[:, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    inside = (jnp.abs(lx) <= terrain.size[:, 0]) & (jnp.abs(ly) <= terrain.size[:, 1])
+    tops = jnp.where(inside, terrain.pos[:, 2] + terrain.size[:, 2], -jnp.inf)
+    return jnp.maximum(terrain.floor_z, jnp.max(tops))
+
+
 def _foot_floor_contacts(
-    model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, gi: int, floor_z: jnp.ndarray
+    model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, gi: int, terrain: Terrain | None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """4 deepest corners of foot box `gi` vs the floor plane z = floor_z.
+    """4 deepest corners of foot box `gi` vs the support surface.
 
     Returns (pos (4,3), dist (4,)). Matches MuJoCo plane-box collision which
     emits up to 4 corner contacts.
@@ -238,38 +256,10 @@ def _foot_floor_contacts(
     pos, quat = geom_world_pose(model, xpos, xquat, gi)
     rot = maths.quat_to_mat(quat)
     corners = pos[None, :] + (_BOX_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (8,3)
-    dist = corners[:, 2] - floor_z
-    order = jnp.argsort(dist)[:4]
-    return corners[order], dist[order]
-
-
-def _foot_terrain_contacts(
-    model: Model,
-    xpos: jnp.ndarray,
-    xquat: jnp.ndarray,
-    gi: int,
-    tpos: jnp.ndarray,
-    tsize: jnp.ndarray,
-    tyaw: jnp.ndarray,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Foot box corners vs the *top face* of one terrain box.
-
-    An adequate approximation for stepping-stone terrain: a corner is in
-    contact when it lies within the box footprint (in the box's yaw-rotated
-    frame) and below its top surface.
-    """
-    pos, quat = geom_world_pose(model, xpos, xquat, gi)
-    rot = maths.quat_to_mat(quat)
-    corners = pos[None, :] + (_BOX_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (8,3)
-    top = tpos[2] + tsize[2]
-    # corner position in terrain-box local xy
-    c, s = jnp.cos(tyaw), jnp.sin(tyaw)
-    dx = corners[:, 0] - tpos[0]
-    dy = corners[:, 1] - tpos[1]
-    lx = c * dx + s * dy
-    ly = -s * dx + c * dy
-    inside = (jnp.abs(lx) <= tsize[0]) & (jnp.abs(ly) <= tsize[1])
-    dist = jnp.where(inside, corners[:, 2] - top, 1e3)
+    if terrain is None:
+        dist = corners[:, 2]
+    else:
+        dist = corners[:, 2] - jax.vmap(lambda c: support_height(terrain, c[:2]))(corners)
     order = jnp.argsort(dist)[:4]
     return corners[order], dist[order]
 
@@ -288,21 +278,11 @@ def detect_contacts(
             mask=jnp.zeros((0,)),
         )
     all_pos, all_dist, all_geom = [], [], []
-    floor_z = terrain.floor_z if terrain is not None else jnp.zeros(())
     for gi in model.foot_geoms:
-        pos, dist = _foot_floor_contacts(model, xpos, xquat, gi, floor_z)
+        pos, dist = _foot_floor_contacts(model, xpos, xquat, gi, terrain)
         all_pos.append(pos)
         all_dist.append(dist)
         all_geom.append(jnp.full((4,), gi, dtype=jnp.int32))
-    if model.nterrain > 0 and terrain is not None:
-        for gi in model.foot_geoms:
-            for t in range(model.nterrain):
-                pos, dist = _foot_terrain_contacts(
-                    model, xpos, xquat, gi, terrain.pos[t], terrain.size[t], terrain.yaw[t]
-                )
-                all_pos.append(pos)
-                all_dist.append(dist)
-                all_geom.append(jnp.full((4,), gi, dtype=jnp.int32))
     pos = jnp.concatenate(all_pos)
     dist = jnp.concatenate(all_dist)
     geom = jnp.concatenate(all_geom)
@@ -379,7 +359,7 @@ def _smooth_dynamics(
     # actuation: force = gear * ctrl at the actuated dof (clipped to ctrlrange)
     ctrl = jnp.clip(ctrl, model.actuator_ctrlrange[:, 0], model.actuator_ctrlrange[:, 1])
     act_force = model.actuator_gear * ctrl
-    qfrc_act = jnp.zeros(model.nv).at[jnp.asarray(model.actuator_dof)].add(act_force)
+    qfrc_act = jnp.zeros(model.nv).at[jnp.asarray(model.actuator_dof, dtype=jnp.int32)].add(act_force)
 
     # passive: smooth frictionloss; damping handled implicitly via (M + h D)
     qfrc_passive = -params.dof_frictionloss * jnp.tanh(state.qvel / 0.02)

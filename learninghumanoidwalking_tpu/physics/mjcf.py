@@ -1,0 +1,91 @@
+"""RobotSpec -> MJCF export (for golden-value validation against MuJoCo).
+
+The reference validates engine behavior against MuJoCo via settled-statics
+inspection (/root/reference/scripts/test_contact_behavior.py). Our analog:
+export the *same* RobotSpec the JAX engine lowers to MJCF, compile it with
+the installed MuJoCo binary, and compare settled heights / ground reaction
+forces / dynamics quantities. This is a test-only utility, not a runtime
+dependency.
+"""
+
+from __future__ import annotations
+
+import io
+
+from learninghumanoidwalking_tpu.physics.spec import Body, RobotSpec
+
+_GEOM_TYPES = {"plane": "plane", "sphere": "sphere", "capsule": "capsule", "box": "box"}
+
+
+def _fmt(vals) -> str:
+    return " ".join(f"{float(v):.8g}" for v in vals)
+
+
+def export_mjcf(spec: RobotSpec, timestep: float = 0.001, with_floor: bool = True) -> str:
+    """Serialize a RobotSpec to an MJCF XML string.
+
+    Self-collision proxy geoms are exported as contype=0 (visual-only) so the
+    MuJoCo contact set matches the JAX engine's (foot boxes vs floor only).
+    """
+    out = io.StringIO()
+    out.write(f"<mujoco model='{spec.name}'>\n")
+    out.write(f"  <option timestep='{timestep}' gravity='{_fmt(spec.gravity)}'/>\n")
+    out.write("  <worldbody>\n")
+    if with_floor:
+        out.write("    <geom name='floor' type='plane' size='20 20 1' friction='1 0.005 0.0001'/>\n")
+
+    children: dict[str, list[Body]] = {}
+    for b in spec.bodies:
+        children.setdefault(b.parent, []).append(b)
+
+    foot_geoms = set(spec.left_foot_geoms) | set(spec.right_foot_geoms)
+
+    def emit(body: Body, indent: str):
+        out.write(f"{indent}<body name='{body.name}' pos='{_fmt(body.pos)}' quat='{_fmt(body.quat)}'>\n")
+        if body.mass is not None:
+            out.write(
+                f"{indent}  <inertial pos='{_fmt(body.ipos)}' quat='{_fmt(body.iquat)}' "
+                f"mass='{body.mass}' diaginertia='{_fmt(body.inertia)}'/>\n"
+            )
+        j = body.joint
+        if j is not None:
+            name = j.name or f"{body.name}_joint"
+            if j.jtype == "free":
+                out.write(f"{indent}  <freejoint name='{name}'/>\n")
+            else:
+                out.write(
+                    f"{indent}  <joint name='{name}' type='{j.jtype}' pos='{_fmt(j.pos)}' "
+                    f"axis='{_fmt(j.axis)}' damping='{j.damping}' armature='{j.armature}' "
+                    f"frictionloss='{j.frictionloss}' limited='false'/>\n"
+                )
+        for g in body.geoms:
+            name = g.name or f"{body.name}_geom"
+            collidable = name in foot_geoms
+            contype = 1 if collidable else 0
+            conaff = 1 if collidable else 0
+            size = _fmt(g.size)
+            out.write(
+                f"{indent}  <geom name='{name}' type='{_GEOM_TYPES[g.gtype]}' size='{size}' "
+                f"pos='{_fmt(g.pos)}' quat='{_fmt(g.quat)}' friction='{g.friction} 0.005 0.0001' "
+                f"contype='{contype}' conaffinity='{conaff}' density='{g.density}'/>\n"
+            )
+        for child in children.get(body.name, []):
+            emit(child, indent + "  ")
+        out.write(f"{indent}</body>\n")
+
+    for root in children.get("world", []):
+        emit(root, "    ")
+    out.write("  </worldbody>\n")
+
+    if spec.actuators:
+        out.write("  <actuator>\n")
+        for a in spec.actuators:
+            limited = "true" if a.ctrlrange is not None else "false"
+            rng = _fmt(a.ctrlrange) if a.ctrlrange is not None else "0 0"
+            out.write(
+                f"    <motor name='{a.joint}_motor' joint='{a.joint}' gear='{a.gear}' "
+                f"ctrllimited='{limited}' ctrlrange='{rng}'/>\n"
+            )
+        out.write("  </actuator>\n")
+    out.write("</mujoco>\n")
+    return out.getvalue()

@@ -313,9 +313,10 @@ def lower(spec: RobotSpec) -> m.Model:
     foot_geoms = left + right
     self_pairs = tuple((gname_to_idx[a], gname_to_idx[b]) for a, b in spec.self_collision_pairs)
 
-    # 4 corner slots per foot geom vs the floor plane; plus 4 slots per
-    # (foot geom, terrain box) candidate when terrain is enabled.
-    ncon = 4 * len(foot_geoms) * (1 + spec.nterrain)
+    # 4 corner slots per foot geom. Terrain boxes do not add slots: terrain
+    # enters as a support-height query under each corner (engine.detect_contacts),
+    # keeping the contact system fixed-size and small.
+    ncon = 4 * len(foot_geoms)
 
     # actuators ---------------------------------------------------------------
     act_body, act_dof, act_qpos, act_gear, act_range, act_names = [], [], [], [], [], []

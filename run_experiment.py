@@ -1,0 +1,162 @@
+"""CLI experiment runner: train / eval.
+
+The framework's equivalent of /root/reference/run_experiment.py — same two
+subcommands and hyperparameter surface, TPU-native execution: no Ray; the env
+batch lives on device and is optionally sharded over a jax.sharding mesh.
+
+  python run_experiment.py train --env jvrc_walk --logdir /tmp/logs
+  python run_experiment.py eval --path /tmp/logs/<run>
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import platform
+import sys
+from pathlib import Path
+
+
+def system_banner():
+    import jax
+
+    print("=" * 60)
+    print(f"python {platform.python_version()} | jax {jax.__version__}")
+    print(f"devices: {jax.devices()}")
+    print(f"default backend: {jax.default_backend()}")
+    print("=" * 60, flush=True)
+
+
+def build_train_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train")
+    p.add_argument("--env", required=True, type=str)
+    p.add_argument("--logdir", default=Path("/tmp/logs"), type=Path)
+    p.add_argument("--n-itr", type=int, default=20000)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--eps", type=float, default=1e-5)
+    p.add_argument("--gamma", type=float, default=0.99)
+    p.add_argument("--lam", type=float, default=0.95)
+    p.add_argument("--std-dev", type=float, default=0.223)
+    p.add_argument("--learn-std", action="store_true")
+    p.add_argument("--entropy-coeff", type=float, default=0.0)
+    p.add_argument("--clip", type=float, default=0.2)
+    p.add_argument("--minibatch-size", type=int, default=4096)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--num-envs", type=int, default=1024, help="parallel on-device envs (replaces --num-procs)")
+    p.add_argument("--rollout-len", type=int, default=64, help="steps per env per iteration")
+    p.add_argument("--max-grad-norm", type=float, default=0.5)
+    p.add_argument("--max-traj-len", type=int, default=400)
+    p.add_argument("--no-mirror", action="store_true")
+    p.add_argument("--mirror-coeff", type=float, default=0.4)
+    p.add_argument("--eval-freq", type=int, default=100)
+    p.add_argument("--continued", type=Path, default=None, help="logdir of a run to resume")
+    p.add_argument("--recurrent", action="store_true")
+    p.add_argument("--imitate", type=str, default=None, help="logdir of an expert run to imitate")
+    p.add_argument("--imitate-coeff", type=float, default=0.3)
+    p.add_argument("--yaml", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-devices", type=int, default=None, help="mesh size (default: all devices)")
+    return p
+
+
+def train(argv):
+    args = build_train_parser().parse_args(argv)
+    system_banner()
+
+    import jax
+
+    from learninghumanoidwalking_tpu.envs import make_env
+    from learninghumanoidwalking_tpu.parallel.mesh import make_mesh, shard_train_state
+    from learninghumanoidwalking_tpu.rl.checkpoint import Checkpointer
+    from learninghumanoidwalking_tpu.rl.logger import TrainingLogger
+    from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig
+
+    env = make_env(args.env, args.yaml)
+    cfg = PPOConfig(
+        n_itr=args.n_itr,
+        lr=args.lr,
+        eps=args.eps,
+        gamma=args.gamma,
+        lam=args.lam,
+        std_dev=args.std_dev,
+        learn_std=args.learn_std,
+        entropy_coeff=args.entropy_coeff,
+        clip=args.clip,
+        minibatch_size=args.minibatch_size,
+        epochs=args.epochs,
+        num_envs=args.num_envs,
+        rollout_len=args.rollout_len,
+        max_traj_len=args.max_traj_len,
+        mirror_coeff=args.mirror_coeff,
+        use_mirror=not args.no_mirror,
+        imitate_coeff=args.imitate_coeff,
+        eval_freq=args.eval_freq,
+        recurrent=args.recurrent,
+        seed=args.seed,
+    )
+
+    run_dir = Path(args.logdir) / f"{args.env}-{datetime.datetime.now():%Y%m%d-%H%M%S}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    print(f"logging to {run_dir}")
+
+    # imitation expert (reference ppo.py:111-122)
+    imitation_projector = expert_apply = expert_params = None
+    if args.imitate:
+        from learninghumanoidwalking_tpu.rl.eval import load_policy
+
+        expert_apply, expert_params, _ = load_policy(Path(args.imitate))
+        projector_factory = getattr(env, "imitation_projector", None)
+        imitation_projector = projector_factory() if callable(projector_factory) else None
+        if imitation_projector is None:
+            raise ValueError(f"--imitate passed but env {args.env} has no imitation_projector()")
+
+    ppo = PPO(
+        env,
+        cfg,
+        imitation_projector=imitation_projector,
+        expert_apply=expert_apply,
+        expert_params=expert_params,
+    )
+
+    checkpointer = Checkpointer(run_dir)
+    checkpointer.save_experiment({"env": args.env, "yaml": args.yaml, **vars(args), "obs_size": env.obs_size, "action_size": env.action_size})
+    logger = TrainingLogger(run_dir)
+
+    init_ts = ppo.init_state(jax.random.PRNGKey(args.seed))
+    if args.continued:
+        init_ts = Checkpointer(args.continued).restore(init_ts)
+        print(f"resumed from {args.continued} at iteration {int(init_ts.iteration)}")
+
+    mesh = make_mesh(args.n_devices)
+    if len(mesh.devices.flat) > 1:
+        init_ts = shard_train_state(init_ts, mesh, cfg.num_envs)
+        print(f"sharding {cfg.num_envs} envs over {len(mesh.devices.flat)} devices")
+
+    ppo.train(n_itr=args.n_itr, logger=logger, checkpointer=checkpointer, init_ts=init_ts)
+
+
+def evaluate(argv):
+    p = argparse.ArgumentParser("eval")
+    p.add_argument("--path", required=True, type=Path, help="run logdir (or parent of runs)")
+    p.add_argument("--episodes", type=int, default=3)
+    p.add_argument("--max-steps", type=int, default=400)
+    p.add_argument("--out", type=Path, default=None, help="where to write the trajectory npz / mp4")
+    p.add_argument("--deterministic", action="store_true", default=True)
+    args = p.parse_args(argv)
+    system_banner()
+
+    from learninghumanoidwalking_tpu.rl.eval import evaluate_policy
+
+    evaluate_policy(args.path, episodes=args.episodes, max_steps=args.max_steps, out=args.out)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2 or sys.argv[1] not in ("train", "eval"):
+        print("usage: run_experiment.py {train,eval} ...", file=sys.stderr)
+        sys.exit(2)
+    mode, rest = sys.argv[1], sys.argv[2:]
+    if mode == "train":
+        train(rest)
+    else:
+        evaluate(rest)

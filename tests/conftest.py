@@ -16,3 +16,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: humanoid env step/reset compiles cost ~40 s each
+# on CPU; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
