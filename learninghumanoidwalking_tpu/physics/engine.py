@@ -6,41 +6,51 @@ Implements exactly the engine surface the reference exercises (SURVEY.md §2.1;
   * generalized coordinates (one optional free root joint + hinge/slide),
   * forward kinematics + body spatial velocities,
   * joint-space inertia matrix (composite, via world-frame body Jacobians),
-  * bias forces (Coriolis/centrifugal/gravity) via velocity-product recursion,
-  * plane-box (+ terrain-box) contacts with MuJoCo-like soft-constraint
-    semantics (solref/solimp impedance, PGS on the dual with friction cones),
-  * semi-implicit Euler with implicit joint damping (MuJoCo Euler integrator
-    semantics),
+  * bias forces (Coriolis/centrifugal/gravity),
+  * plane-box (+ terrain support-height) contacts with MuJoCo-like
+    soft-constraint semantics (solref/solimp impedance, friction cones),
+  * semi-implicit Euler with implicit joint damping (MuJoCo Euler semantics),
   * applied body wrenches (xfrc_applied), armature, frictionloss.
 
 Everything is a pure function over (Model, DynParams, PhysicsState) written
-for a single env; batching is jax.vmap over thousands of envs, which turns the
-small fixed-shape tree operations into wide VPU/MXU-friendly batched ops. The
-kinematic tree is unrolled in Python at trace time (nbody <= ~15), so XLA sees
-straight-line code with static shapes.
+for a single env; batching is jax.vmap over thousands of envs.
 
-Design notes vs the reference: MuJoCo's `mj_step` (robot_interface.py:535-545)
-maps to `step()`; `mj_forward` after `set_state` (mujoco_env.py:126-127) maps
-to `forward()`. Spatial algebra uses Featherstone world-frame coordinates with
-motion vectors (omega, v_at_origin).
+TPU-first structure: XLA kernel count is the limiting resource for this
+workload (hundreds of tiny fused ops per 1 ms substep, 25 substeps per
+control step), so the implementation avoids per-body Python loops wherever
+the math allows:
+
+  * tree propagation (velocities, velocity-product accelerations) is
+    expressed through the static ancestor-dof mask as ONE matmul each:
+    v_body = mask @ (S * qvel), a_vp = mask @ cross-terms;
+  * per-dof screw axes, spatial inertias, and the integrator are stacked
+    gathers/scatters over static index arrays;
+  * the dual contact problem is solved with a fully-batched projected
+    Jacobi iteration (a (3nc x 3nc) matmul per sweep) instead of a
+    sequential per-contact Gauss-Seidel loop;
+  * forward kinematics runs ONCE per substep: each step consumes the pose
+    cache the previous step (or make_state/forward) wrote.
+
+Only the FK chain itself remains a (short, ~tree-depth) sequential loop.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from learninghumanoidwalking_tpu.physics import model as mdl
 from learninghumanoidwalking_tpu.physics.model import BOX, FREE, HINGE, SLIDE, Contact, DynParams, Model, PhysicsState
 from learninghumanoidwalking_tpu.utils import maths
 
-# Contact margin: contacts activate when signed distance < margin (MuJoCo
-# default margin is 0; we keep slots for dist < MARGIN to get smooth onset).
+# Contacts activate when signed distance < margin (MuJoCo default margin 0).
 CONTACT_MARGIN = 0.0
-# PGS sweeps for the dual contact solve.
-SOLVER_ITERATIONS = 10
+# Projected-Jacobi sweeps for the dual contact solve.
+SOLVER_ITERATIONS = 30
+SOLVER_RELAXATION = 0.95
 
 _BOX_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
@@ -53,20 +63,17 @@ class Terrain:
     """Per-env terrain boxes (stepping-stone style), world-frame.
 
     Replaces the reference's runtime mutation of 20 terrain box bodies
-    (/root/reference/tasks/stepping_task.py:320-334) with per-env state arrays.
-    Boxes are yaw-rotated rectangular prisms; feet collide with their top face.
+    (/root/reference/tasks/stepping_task.py:320-334) with per-env state
+    arrays. Feet collide with box top faces via a support-height query.
     """
 
     pos: jnp.ndarray  # (nt, 3) box center
     size: jnp.ndarray  # (nt, 3) half-sizes
     yaw: jnp.ndarray  # (nt,) rotation about z
-    # floor z offset: stepping FORWARD mode drops the floor by 2 m
-    # (stepping_task.py:330-333); encoded here instead of moving a geom.
-    floor_z: jnp.ndarray  # ()
+    floor_z: jnp.ndarray  # () floor plane height (FORWARD stepping drops it -2)
 
 
 def flat_terrain(nterrain: int) -> Terrain:
-    """Inactive terrain: boxes far below the floor."""
     return Terrain(
         pos=jnp.tile(jnp.array([0.0, 0.0, -100.0]), (nterrain, 1)),
         size=jnp.tile(jnp.array([0.5, 0.5, 0.1]), (nterrain, 1)),
@@ -75,16 +82,66 @@ def flat_terrain(nterrain: int) -> Terrain:
     )
 
 
-def _ancestor_dof_mask(model: Model) -> np.ndarray:
-    """(nbody, nv) bool mask: dof d affects body i (static, trace-time)."""
-    mask = np.zeros((model.nbody, model.nv), dtype=bool)
-    for i in range(1, model.nbody):
-        p = model.body_parent[i]
-        mask[i] = mask[p]
-        adr, num = model.body_dof_adr[i], model.body_dof_num[i]
+# --------------------------------------------------------------------------
+# static (trace-time) structure tables, derived from Model metadata
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _static_tables(
+    nbody: int,
+    nv: int,
+    body_parent: tuple,
+    jnt_type: tuple,
+    body_dof_adr: tuple,
+    body_dof_num: tuple,
+    body_qpos_adr: tuple,
+):
+    """Ancestor masks and stacked per-dof index arrays (all numpy constants)."""
+    anc = np.zeros((nbody, nv), dtype=np.float32)
+    for i in range(1, nbody):
+        anc[i] = anc[body_parent[i]]
+        adr, num = body_dof_adr[i], body_dof_num[i]
         if num > 0:
-            mask[i, adr : adr + num] = True
-    return mask
+            anc[i, adr : adr + num] = 1.0
+
+    # 1-dof joints, stacked
+    j_dof, j_body, j_is_hinge, j_qpos = [], [], [], []
+    free_body = -1
+    for i in range(1, nbody):
+        jt = jnt_type[i]
+        if jt == FREE:
+            free_body = i
+        elif jt in (HINGE, SLIDE):
+            j_dof.append(body_dof_adr[i])
+            j_body.append(i)
+            j_is_hinge.append(1.0 if jt == HINGE else 0.0)
+            j_qpos.append(body_qpos_adr[i])
+    return dict(
+        anc=anc,
+        j_dof=np.asarray(j_dof, dtype=np.int32),
+        j_body=np.asarray(j_body, dtype=np.int32),
+        j_is_hinge=np.asarray(j_is_hinge, dtype=np.float32),
+        j_qpos=np.asarray(j_qpos, dtype=np.int32),
+        free_body=free_body,
+    )
+
+
+def _tables(model: Model) -> dict:
+    return _static_tables(
+        model.nbody,
+        model.nv,
+        model.body_parent,
+        model.jnt_type,
+        tuple(model.body_dof_adr),
+        tuple(model.body_dof_num),
+        tuple(model.body_qpos_adr),
+    )
+
+
+# --------------------------------------------------------------------------
+# kinematics
+# --------------------------------------------------------------------------
 
 
 def fk(model: Model, qpos: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,71 +176,66 @@ def fk(model: Model, qpos: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.stack(xpos), jnp.stack(xquat)
 
 
-def motion_subspace(model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray) -> jnp.ndarray:
-    """(nv, 6) world-frame screw axes S_d, motion = (omega, v_at_origin)."""
-    rows = []
-    for i in range(1, model.nbody):
-        jt = model.jnt_type[i]
-        if jt == -1:
-            continue
-        rot = maths.quat_to_mat(xquat[i])
-        if jt == FREE:
-            zero = jnp.zeros(3)
-            for k in range(3):  # translational dofs, world axes
-                e = jnp.zeros(3).at[k].set(1.0)
-                rows.append(jnp.concatenate([zero, e]))
-            for k in range(3):  # rotational dofs, body axes, anchored at body origin
-                u = rot[:, k]
-                rows.append(jnp.concatenate([u, jnp.cross(xpos[i], u)]))
-        elif jt == HINGE:
-            u = rot @ model.jnt_axis[i]
-            anchor = xpos[i] + rot @ model.jnt_pos[i]
-            rows.append(jnp.concatenate([u, jnp.cross(anchor, u)]))
-        else:  # SLIDE
-            u = rot @ model.jnt_axis[i]
-            rows.append(jnp.concatenate([jnp.zeros(3), u]))
-    return jnp.stack(rows)
+def motion_subspace(model: Model, xpos: jnp.ndarray, rmats: jnp.ndarray) -> jnp.ndarray:
+    """(nv, 6) world-frame screw axes S_d, motion = (omega, v_at_origin).
 
+    Stacked over all 1-dof joints; the (single, root) free joint is
+    special-cased.
+    """
+    t = _tables(model)
+    s_mat = jnp.zeros((model.nv, 6))
 
-def body_velocities(model: Model, s_mat: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
-    """(nbody, 6) spatial velocity of each body (omega, v_at_origin)."""
-    sv = s_mat * qvel[:, None]  # (nv, 6)
-    cvel = [jnp.zeros(6)]
-    for i in range(1, model.nbody):
-        v = cvel[model.body_parent[i]]
-        adr, num = model.body_dof_adr[i], model.body_dof_num[i]
-        for d in range(adr, adr + num):
-            v = v + sv[d]
-        cvel.append(v)
-    return jnp.stack(cvel)
+    if t["free_body"] >= 0:
+        fb = t["free_body"]
+        rot = rmats[fb]
+        # translational dofs (world axes), then rotational (body axes about
+        # the body origin)
+        lin = jnp.concatenate([jnp.zeros((3, 3)), jnp.eye(3)], axis=1)  # (3, 6)
+        ang = jnp.concatenate([rot.T, jnp.cross(xpos[fb][None, :], rot.T)], axis=1)  # (3, 6)
+        s_mat = jax.lax.dynamic_update_slice(s_mat, jnp.concatenate([lin, ang]), (model.body_dof_adr[fb], 0))
+
+    if t["j_dof"].size:
+        jb = jnp.asarray(t["j_body"])
+        rots = rmats[jb]  # (nj, 3, 3)
+        axes = jnp.einsum("nij,nj->ni", rots, model.jnt_axis[jb])
+        anchors = xpos[jb] + jnp.einsum("nij,nj->ni", rots, model.jnt_pos[jb])
+        hinge = t["j_is_hinge"][:, None]
+        s_ang = hinge * axes
+        s_lin = hinge * jnp.cross(anchors, axes) + (1.0 - hinge) * axes
+        s_mat = s_mat.at[jnp.asarray(t["j_dof"])].set(jnp.concatenate([s_ang, s_lin], axis=1))
+    return s_mat
 
 
 def body_jacobians(model: Model, s_mat: jnp.ndarray) -> jnp.ndarray:
-    """(nbody, 6, nv) spatial Jacobian of each body (S masked to ancestors)."""
-    mask = jnp.asarray(_ancestor_dof_mask(model), dtype=s_mat.dtype)  # (nb, nv)
-    return s_mat.T[None, :, :] * mask[:, None, :]
+    """(nbody, 6, nv) spatial Jacobians: S masked to each body's ancestors."""
+    anc = jnp.asarray(_tables(model)["anc"])  # (nb, nv)
+    return s_mat.T[None, :, :] * anc[:, None, :]
+
+
+def body_velocities(model: Model, s_mat: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarray:
+    """(nbody, 6) spatial velocities: v_i = anc_mask_i @ (S * qvel)."""
+    anc = jnp.asarray(_tables(model)["anc"])
+    return anc @ (s_mat * qvel[:, None])
 
 
 def spatial_inertias(
-    model: Model, params: DynParams, xpos: jnp.ndarray, xquat: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(nbody, 6, 6) world spatial inertia and (nbody, 3) world CoM per body."""
-    inertias = []
-    coms = []
+    model: Model, params: DynParams, xpos: jnp.ndarray, xquat: jnp.ndarray, rmats: jnp.ndarray
+) -> jnp.ndarray:
+    """(nbody, 6, 6) world-frame spatial inertia of each body, stacked."""
+    iquat_mats = jax.vmap(maths.quat_to_mat)(model.body_iquat)  # could be folded into Model
+    rot = jnp.einsum("bij,bjk->bik", rmats, iquat_mats)  # (nb, 3, 3)
     mass_ratio = params.body_mass / jnp.maximum(model.body_mass, 1e-9)
-    for i in range(model.nbody):
-        if i == 0:
-            inertias.append(jnp.zeros((6, 6)))
-            coms.append(jnp.zeros(3))
-            continue
-        rot = maths.quat_to_mat(xquat[i]) @ maths.quat_to_mat(model.body_iquat[i])
-        # inertia scales with randomized mass (domain_randomization.py:49-51)
-        diag = model.body_inertia[i] * mass_ratio[i]
-        i_com = rot @ jnp.diag(diag) @ rot.T
-        com = xpos[i] + maths.quat_rotate(xquat[i], params.body_ipos[i])
-        inertias.append(maths.spatial_inertia(params.body_mass[i], i_com, com))
-        coms.append(com)
-    return jnp.stack(inertias), jnp.stack(coms)
+    diag = model.body_inertia * mass_ratio[:, None]  # (nb, 3)
+    i_com = jnp.einsum("bij,bj,bkj->bik", rot, diag, rot)  # R diag R^T
+    com = xpos + jnp.einsum("bij,bj->bi", rmats, params.body_ipos)
+    cx = jax.vmap(maths.skew)(com)  # (nb, 3, 3)
+    m = params.body_mass[:, None, None]
+    ibar = i_com - m * jnp.einsum("bij,bjk->bik", cx, cx)
+    top = jnp.concatenate([ibar, m * cx], axis=2)
+    bot = jnp.concatenate([m * jnp.transpose(cx, (0, 2, 1)), m * jnp.broadcast_to(jnp.eye(3), cx.shape)], axis=2)
+    inertias = jnp.concatenate([top, bot], axis=1)
+    # zero out the world body
+    return inertias.at[0].set(0.0)
 
 
 def mass_matrix(model: Model, jac: jnp.ndarray, inertias: jnp.ndarray) -> jnp.ndarray:
@@ -200,22 +252,28 @@ def bias_force(
     cvel: jnp.ndarray,
     qvel: jnp.ndarray,
 ) -> jnp.ndarray:
-    """qfrc_bias (nv,): Coriolis + centrifugal + gravity (RNEA with qacc=0)."""
-    # gravity via base-acceleration trick: a_world = -g_spatial
-    a = [jnp.concatenate([jnp.zeros(3), -model.gravity])]
-    sv = s_mat * qvel[:, None]
-    for i in range(1, model.nbody):
-        p = model.body_parent[i]
-        adr, num = model.body_dof_adr[i], model.body_dof_num[i]
-        vj = jnp.zeros(6)
-        for d in range(adr, adr + num):
-            vj = vj + sv[d]
-        a.append(a[p] + maths.motion_cross(cvel[i], vj))
-    acc = jnp.stack(a)
+    """qfrc_bias (nv,): Coriolis + centrifugal + gravity (zero-qacc RNEA).
+
+    Velocity-product accelerations via the ancestor mask:
+    a_i = a_0 + sum_{d in path(i)} v_{body(d)} x (S_d qdot_d).
+    """
+    t = _tables(model)
+    anc = jnp.asarray(t["anc"])
+    dof_body = jnp.asarray(model.dof_body, dtype=jnp.int32)
+    sv = s_mat * qvel[:, None]  # (nv, 6)
+    v_dof = cvel[dof_body]  # (nv, 6) velocity of each dof's body
+    cross_terms = jax.vmap(maths.motion_cross)(v_dof, sv)  # (nv, 6)
+    a0 = jnp.concatenate([jnp.zeros(3), -model.gravity])
+    acc = a0[None, :] + anc @ cross_terms  # (nb, 6)
+
     momentum = jnp.einsum("bij,bj->bi", inertias, cvel)
-    f = jnp.einsum("bij,bj->bi", inertias, acc)
-    f = f + jax.vmap(maths.force_cross)(cvel, momentum)
+    f = jnp.einsum("bij,bj->bi", inertias, acc) + jax.vmap(maths.force_cross)(cvel, momentum)
     return jnp.einsum("baj,ba->j", jac, f)
+
+
+# --------------------------------------------------------------------------
+# contacts
+# --------------------------------------------------------------------------
 
 
 def geom_world_pose(
@@ -228,11 +286,10 @@ def geom_world_pose(
 
 
 def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
-    """Terrain support height under a world xy point: max of the floor plane
-    and the top faces of all terrain boxes whose (yaw-rotated) footprint
-    contains the point. This is the TPU-native encoding of the reference's
-    20 repositionable terrain box bodies (stepping_task.py:320-334): box sides
-    are not collidable, only the walking surfaces."""
+    """Support surface height under world xy: max of the floor plane and the
+    top faces of terrain boxes whose yaw-rotated footprint contains the point
+    (encodes the reference's 20 repositionable terrain boxes,
+    stepping_task.py:320-334; box sides are not collidable)."""
     if terrain is None:
         return jnp.zeros(())
     c, s = jnp.cos(terrain.yaw), jnp.sin(terrain.yaw)
@@ -248,11 +305,8 @@ def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
 def _foot_floor_contacts(
     model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, gi: int, terrain: Terrain | None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """4 deepest corners of foot box `gi` vs the support surface.
-
-    Returns (pos (4,3), dist (4,)). Matches MuJoCo plane-box collision which
-    emits up to 4 corner contacts.
-    """
+    """4 deepest corners of foot box `gi` vs the support surface (matches
+    MuJoCo plane-box collision, which emits up to 4 corner contacts)."""
     pos, quat = geom_world_pose(model, xpos, xquat, gi)
     rot = maths.quat_to_mat(quat)
     corners = pos[None, :] + (_BOX_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (8,3)
@@ -267,7 +321,7 @@ def _foot_floor_contacts(
 def detect_contacts(
     model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, terrain: Terrain | None
 ) -> Contact:
-    """Fill the fixed-size contact buffer (foot boxes vs floor [+ terrain])."""
+    """Fill the fixed-size contact buffer (foot boxes vs support surface)."""
     if model.ncon == 0:
         return Contact(
             pos=jnp.zeros((0, 3)),
@@ -293,51 +347,51 @@ def detect_contacts(
 
 
 def contact_jacobian(model: Model, jac: jnp.ndarray, contact: Contact) -> jnp.ndarray:
-    """(ncon, 3, nv): world-frame velocity of each contact point, projected
-    onto the contact frame rows (normal, t1, t2)."""
+    """(ncon, 3, nv): contact-point velocities projected onto contact frames."""
     geom_to_body = np.asarray(model.geom_body, dtype=np.int32)
     body_idx = jnp.asarray(geom_to_body)[contact.geom]  # (ncon,)
     jac_c = jac[body_idx]  # (ncon, 6, nv)
     ang, lin = jac_c[:, :3, :], jac_c[:, 3:, :]
-    # point velocity = v_origin + omega x p  ->  J_p = J_lin + skew(-p) @ J_ang
     px = jax.vmap(maths.skew)(contact.pos)  # (ncon, 3, 3)
     jp = lin - jnp.einsum("cij,cjv->civ", px, ang)
     return jnp.einsum("cfi,civ->cfv", contact.frame, jp)
 
 
-def _pgs_solve(
+def _jacobi_solve(
     a_mat: jnp.ndarray, b_vec: jnp.ndarray, mu: jnp.ndarray, mask: jnp.ndarray, iterations: int
 ) -> jnp.ndarray:
-    """Projected Gauss-Seidel on the dual contact problem.
+    """Projected Jacobi iteration on the dual contact problem.
 
-    Solves A f = b with per-contact projection onto the friction cone
-    {f_n >= 0, |f_t| <= mu f_n}. a_mat: (3nc, 3nc); b_vec: (3nc,);
-    mu, mask: (nc,). Returns f: (nc, 3) in contact frames.
+    Solves A f = b with per-contact friction-cone projection
+    {f_n >= 0, |f_t| <= mu f_n}. Fully batched: each sweep is one
+    (3nc x 3nc) matvec + elementwise projection, mapping cleanly onto the
+    MXU/VPU under vmap (vs. a 2*nc-deep sequential Gauss-Seidel chain).
+    Per-row absolute row sums scale the step (Gershgorin bound: eigenvalues
+    of D^-1 A lie in [0, 1] for SPD A when D = abs row sums), keeping the
+    iteration contractive for the strongly-coupled 4-corner foot systems
+    where plain diagonal Jacobi oscillates.
     """
     nc = mu.shape[0]
-    diag = jnp.clip(jnp.diagonal(a_mat), 1e-8, None)
+    diag = jnp.clip(jnp.sum(jnp.abs(a_mat), axis=1), 1e-8, None)
 
-    def sweep(_, f_flat):
-        def per_contact(c, f_flat):
-            idx = 3 * c
-            a_rows = jax.lax.dynamic_slice(a_mat, (idx, 0), (3, a_mat.shape[1]))
-            b_c = jax.lax.dynamic_slice(b_vec, (idx,), (3,))
-            d_c = jax.lax.dynamic_slice(diag, (idx,), (3,))
-            f_c = jax.lax.dynamic_slice(f_flat, (idx,), (3,))
-            resid = b_c - a_rows @ f_flat
-            f_new = f_c + resid / d_c
-            # friction cone projection
-            fn = jnp.maximum(f_new[0], 0.0)
-            ft = f_new[1:]
-            ft_norm = jnp.linalg.norm(ft) + 1e-9
-            scale = jnp.minimum(1.0, mu[c] * fn / ft_norm)
-            f_new = jnp.concatenate([fn[None], ft * scale]) * mask[c]
-            return jax.lax.dynamic_update_slice(f_flat, f_new, (idx,))
+    def sweep(f, _):
+        r = b_vec - a_mat @ f
+        f = f + SOLVER_RELAXATION * r / diag
+        f3 = f.reshape(nc, 3)
+        fn = jnp.maximum(f3[:, 0], 0.0)
+        ft = f3[:, 1:]
+        ft_norm = jnp.linalg.norm(ft, axis=1, keepdims=True) + 1e-9
+        scale = jnp.minimum(1.0, mu[:, None] * fn[:, None] / ft_norm)
+        f3 = jnp.concatenate([fn[:, None], ft * scale], axis=1) * mask[:, None]
+        return f3.reshape(-1), None
 
-        return jax.lax.fori_loop(0, nc, per_contact, f_flat)
+    f, _ = jax.lax.scan(sweep, jnp.zeros(3 * nc), None, length=iterations)
+    return f.reshape(nc, 3)
 
-    f_flat = jax.lax.fori_loop(0, iterations, sweep, jnp.zeros(3 * nc))
-    return f_flat.reshape(nc, 3)
+
+# --------------------------------------------------------------------------
+# dynamics + integration
+# --------------------------------------------------------------------------
 
 
 def _smooth_dynamics(
@@ -347,12 +401,15 @@ def _smooth_dynamics(
     ctrl: jnp.ndarray,
     dt: float,
 ):
-    """Everything up to (but excluding) the contact solve."""
-    xpos, xquat = fk(model, state.qpos)
-    s_mat = motion_subspace(model, xpos, xquat)
+    """Everything up to (but excluding) the contact solve. Consumes the FK
+    caches in `state` (xpos/xquat are kept fresh by step/make_state/forward,
+    mirroring MuJoCo's in-step mjData sync, robot_interface.py:543-563)."""
+    xpos, xquat = state.xpos, state.xquat
+    rmats = jax.vmap(maths.quat_to_mat)(xquat)
+    s_mat = motion_subspace(model, xpos, rmats)
     cvel = body_velocities(model, s_mat, state.qvel)
     jac = body_jacobians(model, s_mat)
-    inertias, _ = spatial_inertias(model, params, xpos, xquat)
+    inertias = spatial_inertias(model, params, xpos, xquat, rmats)
     m_mat = mass_matrix(model, jac, inertias)
     qfrc_bias = bias_force(model, s_mat, jac, inertias, cvel, state.qvel)
 
@@ -361,15 +418,14 @@ def _smooth_dynamics(
     act_force = model.actuator_gear * ctrl
     qfrc_act = jnp.zeros(model.nv).at[jnp.asarray(model.actuator_dof, dtype=jnp.int32)].add(act_force)
 
-    # passive: smooth frictionloss; damping handled implicitly via (M + h D)
+    # passive: smooth frictionloss; joint damping is integrated implicitly
     qfrc_passive = -params.dof_frictionloss * jnp.tanh(state.qvel / 0.02)
     qfrc_damp = -params.dof_damping * state.qvel
 
-    # applied wrenches (xfrc_applied; domain_randomization.py:20-26). The
-    # wrench (force at body origin, torque) maps to dofs through J^T.
+    # applied wrenches (xfrc_applied; domain_randomization.py:20-26)
     xf = params.xfrc  # (nb, 6): (force, torque)
     moment = jnp.cross(xpos, xf[:, :3]) + xf[:, 3:]
-    f_spatial = jnp.concatenate([moment, xf[:, :3]], axis=1)  # (nb, 6)
+    f_spatial = jnp.concatenate([moment, xf[:, :3]], axis=1)
     qfrc_xfrc = jnp.einsum("baj,ba->j", jac, f_spatial)
 
     qfrc_smooth = qfrc_act + qfrc_passive + qfrc_damp + qfrc_xfrc - qfrc_bias
@@ -378,7 +434,7 @@ def _smooth_dynamics(
     mh = m_mat + dt * jnp.diag(params.dof_damping)
     chol = jax.scipy.linalg.cho_factor(mh)
     qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
-    return xpos, xquat, s_mat, cvel, jac, chol, qacc_smooth, act_force
+    return xpos, xquat, jac, chol, qacc_smooth, act_force
 
 
 def _constraint_solve(
@@ -388,7 +444,6 @@ def _constraint_solve(
     chol,
     qacc_smooth: jnp.ndarray,
     contact: Contact,
-    dt: float,
 ) -> tuple[jnp.ndarray, Contact]:
     """MuJoCo-like soft contact solve; returns (qacc, contact with forces)."""
     nc = model.ncon
@@ -397,7 +452,6 @@ def _constraint_solve(
 
     jc = contact_jacobian(model, jac, contact)  # (nc, 3, nv)
     jc_flat = jc.reshape(3 * nc, model.nv)
-    # A = J M^-1 J^T + R
     minv_jt = jax.scipy.linalg.cho_solve(chol, jc_flat.T)  # (nv, 3nc)
     a_mat = jc_flat @ minv_jt
 
@@ -405,22 +459,22 @@ def _constraint_solve(
     pen = jnp.minimum(contact.dist, 0.0)
     imp = model.imp_min + (model.imp_max - model.imp_min) * jnp.clip(
         -pen / model.imp_width, 0.0, 1.0
-    )  # (nc,)
+    )
     k = 1.0 / jnp.maximum(model.imp_max**2 * model.timeconst**2 * model.dampratio**2, 1e-12)
     b = 2.0 / jnp.maximum(model.imp_max * model.timeconst, 1e-12)
-    vel_c = jnp.einsum("cfv,v->cf", jc, state_qvel)  # (nc, 3)
+    vel_c = jnp.einsum("cfv,v->cf", jc, state_qvel)
     aref = -b * vel_c
     aref = aref.at[:, 0].add(-k * imp * pen)
-    r_reg = (1.0 - imp) / jnp.maximum(imp, 1e-6)  # (nc,)
+    r_reg = (1.0 - imp) / jnp.maximum(imp, 1e-6)
     r_diag = jnp.repeat(r_reg, 3) * jnp.clip(jnp.diagonal(a_mat), 1e-8, None)
     a_mat = a_mat + jnp.diag(r_diag)
-    # deactivate masked slots: unit diagonal rows keep PGS well-posed
+    # deactivate masked slots with unit diagonal rows
     mask3 = jnp.repeat(contact.mask, 3)
     a_mat = a_mat * (mask3[:, None] * mask3[None, :]) + jnp.diag(1.0 - mask3)
 
     b_vec = (aref.reshape(-1) - jc_flat @ qacc_smooth) * mask3
     mu = jnp.asarray(model.geom_friction)[contact.geom]
-    force = _pgs_solve(a_mat, b_vec, mu, contact.mask, SOLVER_ITERATIONS)
+    force = _jacobi_solve(a_mat, b_vec, mu, contact.mask, SOLVER_ITERATIONS)
 
     qfrc_con = jc_flat.T @ force.reshape(-1)
     qacc = qacc_smooth + jax.scipy.linalg.cho_solve(chol, qfrc_con)
@@ -429,18 +483,18 @@ def _constraint_solve(
 
 def _integrate(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, dt: float) -> jnp.ndarray:
     """Semi-implicit Euler position update (qvel already advanced)."""
+    t = _tables(model)
     new_qpos = qpos
-    for i in range(1, model.nbody):
-        jt = model.jnt_type[i]
-        if jt == -1:
-            continue
-        qadr, dadr = model.body_qpos_adr[i], model.body_dof_adr[i]
-        if jt == FREE:
-            pos = qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
-            quat = maths.quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
-            new_qpos = jax.lax.dynamic_update_slice(new_qpos, jnp.concatenate([pos, quat]), (qadr,))
-        else:
-            new_qpos = new_qpos.at[qadr].set(qpos[qadr] + dt * qvel[dadr])
+    if t["j_qpos"].size:
+        jq = jnp.asarray(t["j_qpos"])
+        jd = jnp.asarray(t["j_dof"])
+        new_qpos = new_qpos.at[jq].add(dt * qvel[jd])
+    fb = t["free_body"]
+    if fb >= 0:
+        qadr, dadr = model.body_qpos_adr[fb], model.body_dof_adr[fb]
+        pos = qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+        quat = maths.quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
+        new_qpos = jax.lax.dynamic_update_slice(new_qpos, jnp.concatenate([pos, quat]), (qadr,))
     return new_qpos
 
 
@@ -453,20 +507,18 @@ def step(
     terrain: Terrain | None = None,
 ) -> PhysicsState:
     """Advance physics by one sim_dt (mj_step equivalent)."""
-    xpos, xquat, s_mat, cvel, jac, chol, qacc_smooth, act_force = _smooth_dynamics(
-        model, params, state, ctrl, dt
-    )
+    xpos, xquat, jac, chol, qacc_smooth, act_force = _smooth_dynamics(model, params, state, ctrl, dt)
     contact = detect_contacts(model, xpos, xquat, terrain)
-    qacc, contact = _constraint_solve(model, state.qvel, jac, chol, qacc_smooth, contact, dt)
+    qacc, contact = _constraint_solve(model, state.qvel, jac, chol, qacc_smooth, contact)
 
     qvel = state.qvel + dt * qacc
     qpos = _integrate(model, state.qpos, qvel, dt)
 
-    # refresh kinematic caches at the new state (so observations/rewards see
-    # post-step poses, like MuJoCo's in-step mj_step1 sync,
-    # robot_interface.py:543-563)
+    # refresh kinematic caches at the new state so the next substep (and
+    # observation/reward reads) see post-step poses
     xpos2, xquat2 = fk(model, qpos)
-    s2 = motion_subspace(model, xpos2, xquat2)
+    rmats2 = jax.vmap(maths.quat_to_mat)(xquat2)
+    s2 = motion_subspace(model, xpos2, rmats2)
     cvel2 = body_velocities(model, s2, qvel)
     return PhysicsState(
         qpos=qpos,
@@ -488,22 +540,29 @@ def forward(
     dt: float,
     terrain: Terrain | None = None,
 ) -> PhysicsState:
-    """Recompute derived quantities without integrating (mj_forward)."""
+    """Recompute derived quantities without integrating (mj_forward).
+
+    Refreshes the FK caches from qpos first, so it is safe after set_state.
+    """
+    xpos, xquat = fk(model, state.qpos)
+    rmats = jax.vmap(maths.quat_to_mat)(xquat)
+    s_mat = motion_subspace(model, xpos, rmats)
+    cvel = body_velocities(model, s_mat, state.qvel)
+    state = state.replace(xpos=xpos, xquat=xquat, cvel=cvel)
     ctrl = jnp.zeros(model.nu)
-    xpos, xquat, s_mat, cvel, jac, chol, qacc_smooth, act_force = _smooth_dynamics(
-        model, params, state, ctrl, dt
-    )
+    xpos, xquat, jac, chol, qacc_smooth, act_force = _smooth_dynamics(model, params, state, ctrl, dt)
     contact = detect_contacts(model, xpos, xquat, terrain)
-    qacc, contact = _constraint_solve(model, state.qvel, jac, chol, qacc_smooth, contact, dt)
-    return state.replace(
-        qacc=qacc, xpos=xpos, xquat=xquat, cvel=cvel, contact=contact, act_torque=jnp.zeros(model.nu)
-    )
+    qacc, contact = _constraint_solve(model, state.qvel, jac, chol, qacc_smooth, contact)
+    return state.replace(qacc=qacc, contact=contact, act_torque=jnp.zeros(model.nu))
 
 
 def make_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray) -> PhysicsState:
-    """Fresh PhysicsState with caches filled via FK (cheap forward)."""
+    """Fresh PhysicsState with caches filled via FK."""
+    qpos = jnp.asarray(qpos, dtype=jnp.float32)
+    qvel = jnp.asarray(qvel, dtype=jnp.float32)
     xpos, xquat = fk(model, qpos)
-    s_mat = motion_subspace(model, xpos, xquat)
+    rmats = jax.vmap(maths.quat_to_mat)(xquat)
+    s_mat = motion_subspace(model, xpos, rmats)
     cvel = body_velocities(model, s_mat, qvel)
     ncon = model.ncon
     contact = Contact(
@@ -515,8 +574,8 @@ def make_state(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray) -> PhysicsSta
         mask=jnp.zeros((ncon,)),
     )
     return PhysicsState(
-        qpos=jnp.asarray(qpos, dtype=jnp.float32),
-        qvel=jnp.asarray(qvel, dtype=jnp.float32),
+        qpos=qpos,
+        qvel=qvel,
         qacc=jnp.zeros(model.nv),
         act_torque=jnp.zeros(model.nu),
         xpos=xpos,
@@ -531,16 +590,20 @@ def self_collision(model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray) -> jnp.n
     """Boolean: any self-collision candidate pair overlapping (sphere proxies).
 
     Replaces robot_interface.check_self_collisions (:472-484); used only for
-    termination, so a boolean distance check over declared sphere-proxy pairs
-    suffices (no forces).
-    """
+    termination, so a boolean distance check over declared proxy pairs
+    suffices (no forces)."""
     if not model.self_pairs:
         return jnp.zeros((), dtype=bool)
-    flags = []
-    for g1, g2 in model.self_pairs:
-        p1, _ = geom_world_pose(model, xpos, xquat, g1)
-        p2, _ = geom_world_pose(model, xpos, xquat, g2)
-        r1 = model.geom_size[g1][0]
-        r2 = model.geom_size[g2][0]
-        flags.append(jnp.linalg.norm(p1 - p2) < (r1 + r2))
-    return jnp.any(jnp.stack(flags))
+    g1 = np.asarray([p[0] for p in model.self_pairs], dtype=np.int32)
+    g2 = np.asarray([p[1] for p in model.self_pairs], dtype=np.int32)
+    bodies = np.asarray(model.geom_body, dtype=np.int32)
+
+    def world(g):
+        b = jnp.asarray(bodies)[g]
+        return xpos[b] + jax.vmap(maths.quat_rotate)(xquat[b], model.geom_pos[g])
+
+    p1 = world(jnp.asarray(g1))
+    p2 = world(jnp.asarray(g2))
+    r1 = model.geom_size[jnp.asarray(g1), 0]
+    r2 = model.geom_size[jnp.asarray(g2), 0]
+    return jnp.any(jnp.linalg.norm(p1 - p2, axis=1) < (r1 + r2))

@@ -80,6 +80,9 @@ class TrainState:
     env_state: EnvState  # batched (num_envs leading dim)
     key: jnp.ndarray
     iteration: jnp.ndarray  # () int32
+    # recurrent-policy hidden states, () for FF policies
+    actor_carry: Any = ()
+    critic_carry: Any = ()
 
 
 @struct.dataclass
@@ -89,6 +92,11 @@ class Batch:
     log_probs: jnp.ndarray  # (T, B)
     advantages: jnp.ndarray  # (T, B)
     returns: jnp.ndarray  # (T, B)
+    # recurrent extras (None for FF): episode boundaries + rollout-start
+    # hidden states for BPTT replay
+    done: Any = None  # (T, B)
+    actor_carry0: Any = None
+    critic_carry0: Any = None
 
 
 def _tree_where(pred: jnp.ndarray, a, b):
@@ -123,13 +131,23 @@ class PPO:
         self.cfg = config
         self.mesh = mesh
 
-        self.actor_def = networks.GaussianActor(
-            action_dim=env.action_size,
-            init_std=config.std_dev,
-            learn_std=config.learn_std,
-            bounded=False,
-        )
-        self.critic_def = networks.Critic()
+        if config.recurrent:
+            self.actor_def = networks.GaussianLSTMActor(
+                action_dim=env.action_size,
+                init_std=config.std_dev,
+                learn_std=config.learn_std,
+                bounded=False,
+            )
+            self.critic_def = networks.LSTMCritic()
+            self.hidden_sizes = tuple(self.actor_def.hidden)
+        else:
+            self.actor_def = networks.GaussianActor(
+                action_dim=env.action_size,
+                init_std=config.std_dev,
+                learn_std=config.learn_std,
+                bounded=False,
+            )
+            self.critic_def = networks.Critic()
 
         self.actor_tx = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -162,8 +180,17 @@ class PPO:
     def init_state(self, key: jnp.ndarray) -> TrainState:
         k_actor, k_critic, k_env, key = jax.random.split(key, 4)
         dummy_obs = jnp.zeros((1, self.env.obs_size))
-        actor_params = self.actor_def.init(k_actor, dummy_obs)
-        critic_params = self.critic_def.init(k_critic, dummy_obs)
+        if self.cfg.recurrent:
+            dummy_carry = networks.LSTMCore.initial_carry(self.hidden_sizes, (1,))
+            actor_params = self.actor_def.init(k_actor, dummy_carry, dummy_obs)
+            critic_params = self.critic_def.init(k_critic, dummy_carry, dummy_obs)
+            actor_carry = networks.LSTMCore.initial_carry(self.hidden_sizes, (self.cfg.num_envs,))
+            critic_carry = networks.LSTMCore.initial_carry(self.hidden_sizes, (self.cfg.num_envs,))
+        else:
+            actor_params = self.actor_def.init(k_actor, dummy_obs)
+            critic_params = self.critic_def.init(k_critic, dummy_obs)
+            actor_carry = ()
+            critic_carry = ()
 
         if self.env.obs_mean is not None:
             norm = init_norm(None, self.env.obs_mean, self.env.obs_std)
@@ -181,6 +208,8 @@ class PPO:
             env_state=env_state,
             key=key,
             iteration=jnp.zeros((), dtype=jnp.int32),
+            actor_carry=actor_carry,
+            critic_carry=critic_carry,
         )
 
     # --------------------------------------------------------------- rollout
@@ -191,6 +220,12 @@ class PPO:
     def _value(self, critic_params, norm, obs):
         return self.critic_def.apply(critic_params, norm.normalize(obs))
 
+    @staticmethod
+    def _mask_carry(carry, done):
+        """Zero the hidden state of finished envs (the reference re-inits
+        hidden per trajectory, actor.py:268-272)."""
+        return jax.tree.map(lambda x: jnp.where(done[:, None], 0.0, x), carry)
+
     def _rollout(self, ts: TrainState, key, deterministic: bool):
         """Scan rollout of cfg.rollout_len steps over the persistent env batch.
 
@@ -198,6 +233,8 @@ class PPO:
         and truncate at max_traj_len with a value bootstrap
         (rollout_worker.py:162-167).
         """
+        if self.cfg.recurrent:
+            return self._rollout_recurrent(ts, key, deterministic)
         cfg = self.cfg
 
         def step_fn(carry, _):
@@ -238,6 +275,63 @@ class PPO:
         (env_state, key), traj = jax.lax.scan(
             step_fn, (ts.env_state, key), None, length=cfg.rollout_len
         )
+        return env_state, key, traj
+
+    def _rollout_recurrent(self, ts: TrainState, key, deterministic: bool):
+        """Recurrent rollout: actor/critic hidden states ride along and are
+        zeroed at episode boundaries. Stores the rollout-start hidden states
+        so the update can replay the sequence (BPTT over the rollout window,
+        replacing the reference's padded-trajectory BPTT, ppo.py:512-539)."""
+        cfg = self.cfg
+        a_carry0, c_carry0 = ts.actor_carry, ts.critic_carry
+
+        def step_fn(carry, _):
+            env_state, a_carry, c_carry, key = carry
+            key, k_act = jax.random.split(key)
+            obs = env_state.obs
+            nobs = ts.norm.normalize(obs)
+            a_carry2, (mean, log_std) = self.actor_def.apply(ts.actor_params, a_carry, nobs)
+            if deterministic:
+                action = mean
+            else:
+                action = networks.gaussian_sample(k_act, mean, log_std)
+            log_prob = networks.gaussian_logp(mean, log_std, action)
+            c_carry2, value = self.critic_def.apply(ts.critic_params, c_carry, nobs)
+
+            stepped = jax.vmap(self.env.step)(env_state, action)
+            # bootstrap value of the next (pre-reset) obs with a throwaway carry
+            _, next_value = self.critic_def.apply(
+                ts.critic_params, c_carry2, ts.norm.normalize(stepped.obs)
+            )
+
+            terminated = stepped.done
+            truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
+            done = jnp.logical_or(terminated, truncated)
+
+            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            next_state = _tree_where(done, reset_state, stepped)
+            a_carry2 = self._mask_carry(a_carry2, done)
+            c_carry2 = self._mask_carry(c_carry2, done)
+
+            out = dict(
+                obs=obs,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                next_value=next_value,
+                reward=stepped.reward,
+                terminated=terminated,
+                done=done,
+                ep_steps=stepped.steps,
+            )
+            return (next_state, a_carry2, c_carry2, key), out
+
+        (env_state, a_carry, c_carry, key), traj = jax.lax.scan(
+            step_fn, (ts.env_state, a_carry0, c_carry0, key), None, length=cfg.rollout_len
+        )
+        traj["actor_carry0"] = a_carry0
+        traj["critic_carry0"] = c_carry0
+        traj["final_carries"] = (a_carry, c_carry)
         return env_state, key, traj
 
     # ---------------------------------------------------------------- update
@@ -299,7 +393,132 @@ class PPO:
         )
         return total, aux
 
+    # ------------------------------------------------------ recurrent update
+
+    def _replay_sequences(self, actor_params, critic_params, norm, obs, done_prev, a_c0, c_c0):
+        """BPTT replay: run both nets over a (T, b, O) obs window, resetting
+        hidden at episode boundaries. Returns (means, log_stds, values)."""
+
+        def scan_fn(carry, xs):
+            a_c, c_c = carry
+            nob, dn = xs
+            a_c = self._mask_carry(a_c, dn)
+            c_c = self._mask_carry(c_c, dn)
+            a_c, (mean, log_std) = self.actor_def.apply(actor_params, a_c, nob)
+            c_c, value = self.critic_def.apply(critic_params, c_c, nob)
+            return (a_c, c_c), (mean, log_std, value)
+
+        nobs = norm.normalize(obs)
+        _, (means, log_stds, values) = jax.lax.scan(scan_fn, (a_c0, c_c0), (nobs, done_prev))
+        return means, log_stds, values
+
+    def _loss_recurrent(self, actor_params, critic_params, norm, mb):
+        cfg = self.cfg
+        obs, actions, old_log_probs, advantages, returns, done, a_c0, c_c0 = mb
+        done_prev = jnp.concatenate([jnp.zeros_like(done[:1]), done[:-1]], axis=0)
+        means, log_stds, values = self._replay_sequences(
+            actor_params, critic_params, norm, obs, done_prev, a_c0, c_c0
+        )
+        log_probs = networks.gaussian_logp(means, log_stds, actions)
+        ratio = jnp.exp(log_probs - old_log_probs)
+        surr1 = ratio * advantages
+        surr2 = jnp.clip(ratio, 1.0 - cfg.clip, 1.0 + cfg.clip) * advantages
+        actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+        clip_fraction = jnp.mean((jnp.abs(ratio - 1.0) > cfg.clip).astype(jnp.float32))
+        critic_loss = jnp.mean(jnp.square(returns - values))
+        entropy = jnp.mean(networks.gaussian_entropy(log_stds))
+
+        if self.obs_mirror is not None:
+            zero_a = jax.tree.map(jnp.zeros_like, a_c0)
+            zero_c = jax.tree.map(jnp.zeros_like, c_c0)
+            mir_means, _, _ = self._replay_sequences(
+                actor_params, critic_params, norm, obs @ self.obs_mirror.T, done_prev, zero_a, zero_c
+            )
+            mirror_loss = jnp.mean(jnp.square(means - mir_means @ self.act_mirror.T))
+        else:
+            mirror_loss = jnp.zeros(())
+
+        if self.imitation_projector is not None:
+            flat_obs = obs.reshape(-1, obs.shape[-1])
+            query = self.imitation_projector(flat_obs)
+            expert_mean = self.expert_apply(self.expert_params, query.expert_obs)
+            imit_loss = imitation_loss(query, means.reshape(-1, means.shape[-1]), expert_mean)
+        else:
+            imit_loss = jnp.zeros(())
+
+        log_ratio = log_probs - old_log_probs
+        approx_kl = jnp.mean((ratio - 1.0) - log_ratio)
+        total = (
+            actor_loss
+            + cfg.mirror_coeff * mirror_loss
+            + cfg.imitate_coeff * imit_loss
+            - cfg.entropy_coeff * entropy
+            + critic_loss
+        )
+        aux = dict(
+            actor_loss=actor_loss,
+            critic_loss=critic_loss,
+            entropy=entropy,
+            mirror_loss=mirror_loss,
+            imitation_loss=imit_loss,
+            approx_kl=approx_kl,
+            clip_fraction=clip_fraction,
+        )
+        return total, aux
+
+    def _update_recurrent(self, ts: TrainState, batch: Batch, key):
+        """Minibatches are subsets of env sequences; BPTT over the rollout
+        window with hidden resets at episode boundaries (replaces the
+        reference's pad_sequence trajectory batching, ppo.py:512-539)."""
+        cfg = self.cfg
+        n_envs = cfg.num_envs
+        seq_mb = max(min(cfg.minibatch_size // cfg.rollout_len, n_envs), 1)
+        n_mb = max(n_envs // seq_mb, 1)
+
+        def epoch_fn(carry, key_epoch):
+            actor_params, critic_params, actor_opt, critic_opt = carry
+            perm = jax.random.permutation(key_epoch, n_envs)[: n_mb * seq_mb].reshape(n_mb, seq_mb)
+
+            def mb_fn(carry, idx):
+                actor_params, critic_params, actor_opt, critic_opt = carry
+                mb = (
+                    batch.obs[:, idx],
+                    batch.actions[:, idx],
+                    batch.log_probs[:, idx],
+                    batch.advantages[:, idx],
+                    batch.returns[:, idx],
+                    batch.done[:, idx],
+                    jax.tree.map(lambda x: x[idx], batch.actor_carry0),
+                    jax.tree.map(lambda x: x[idx], batch.critic_carry0),
+                )
+                grad_fn = jax.value_and_grad(self._loss_recurrent, argnums=(0, 1), has_aux=True)
+                (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)
+                a_updates, actor_opt = self.actor_tx.update(a_grad, actor_opt, actor_params)
+                actor_params = optax.apply_updates(actor_params, a_updates)
+                c_updates, critic_opt = self.critic_tx.update(c_grad, critic_opt, critic_params)
+                critic_params = optax.apply_updates(critic_params, c_updates)
+                return (actor_params, critic_params, actor_opt, critic_opt), aux
+
+            carry, auxes = jax.lax.scan(mb_fn, carry, perm)
+            return carry, jax.tree.map(jnp.mean, auxes)
+
+        keys = jax.random.split(key, cfg.epochs)
+        carry = (ts.actor_params, ts.critic_params, ts.actor_opt, ts.critic_opt)
+        (actor_params, critic_params, actor_opt, critic_opt), auxes = jax.lax.scan(epoch_fn, carry, keys)
+        aux = jax.tree.map(jnp.mean, auxes)
+        return (
+            ts.replace(
+                actor_params=actor_params,
+                critic_params=critic_params,
+                actor_opt=actor_opt,
+                critic_opt=critic_opt,
+            ),
+            aux,
+        )
+
     def _update(self, ts: TrainState, batch: Batch, key):
+        if self.cfg.recurrent:
+            return self._update_recurrent(ts, batch, key)
         cfg = self.cfg
         n = cfg.batch_size
         mb_size = min(cfg.minibatch_size, n)
@@ -373,8 +592,14 @@ class PPO:
             log_probs=traj["log_prob"],
             advantages=advantages,
             returns=returns,
+            done=traj["done"] if self.cfg.recurrent else None,
+            actor_carry0=traj.get("actor_carry0"),
+            critic_carry0=traj.get("critic_carry0"),
         )
         ts = ts.replace(env_state=env_state, key=key, iteration=ts.iteration + 1)
+        if self.cfg.recurrent:
+            a_carry, c_carry = traj["final_carries"]
+            ts = ts.replace(actor_carry=a_carry, critic_carry=c_carry)
         ts = ts.replace(env_state=ts.env_state.replace(iteration=jnp.broadcast_to(ts.iteration, (self.cfg.num_envs,))))
         ts, aux = self._update(ts, batch, k_upd)
 
@@ -388,7 +613,13 @@ class PPO:
             episode_reward=ep_reward_proxy,
             **aux,
         )
-        _, log_std = self._policy(ts.actor_params, ts.norm, batch.obs[0, :1])
+        if self.cfg.recurrent:
+            carry1 = networks.LSTMCore.initial_carry(self.hidden_sizes, (1,))
+            _, (_, log_std) = self.actor_def.apply(
+                ts.actor_params, carry1, ts.norm.normalize(batch.obs[0, :1])
+            )
+        else:
+            _, log_std = self._policy(ts.actor_params, ts.norm, batch.obs[0, :1])
         metrics["mean_noise_std"] = jnp.mean(jnp.exp(log_std))
         return ts, metrics
 
@@ -408,8 +639,13 @@ class PPO:
         env_state = jax.vmap(self.env.reset)(env_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
 
         def step_fn(carry, _):
-            env_state, ep_ret, ep_len, ret_acc, len_acc, cnt = carry
-            mean, _ = self._policy(ts.actor_params, ts.norm, env_state.obs)
+            env_state, a_carry, ep_ret, ep_len, ret_acc, len_acc, cnt = carry
+            if cfg.recurrent:
+                a_carry, (mean, _) = self.actor_def.apply(
+                    ts.actor_params, a_carry, ts.norm.normalize(env_state.obs)
+                )
+            else:
+                mean, _ = self._policy(ts.actor_params, ts.norm, env_state.obs)
             stepped = jax.vmap(self.env.step)(env_state, mean)
             terminated = stepped.done
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
@@ -423,12 +659,18 @@ class PPO:
             ep_len = jnp.where(done, 0.0, ep_len)
             reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
             env_state = _tree_where(done, reset_state, stepped)
-            return (env_state, ep_ret, ep_len, ret_acc, len_acc, cnt), None
+            if cfg.recurrent:
+                a_carry = self._mask_carry(a_carry, done)
+            return (env_state, a_carry, ep_ret, ep_len, ret_acc, len_acc, cnt), None
 
         zeros = jnp.zeros((cfg.num_envs,))
-        (env_state, ep_ret, ep_len, ret_acc, len_acc, cnt), _ = jax.lax.scan(
+        if cfg.recurrent:
+            carry0 = networks.LSTMCore.initial_carry(self.hidden_sizes, (cfg.num_envs,))
+        else:
+            carry0 = ()
+        (env_state, _, ep_ret, ep_len, ret_acc, len_acc, cnt), _ = jax.lax.scan(
             step_fn,
-            (env_state, zeros, zeros, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
+            (env_state, carry0, zeros, zeros, jnp.zeros(()), jnp.zeros(()), jnp.zeros(())),
             None,
             length=cfg.max_traj_len,
         )

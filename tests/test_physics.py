@@ -79,15 +79,18 @@ def test_energy_conservation_pendulum():
     dt = 0.001
 
     def energy(state):
+        import jax as _jax
+        from learninghumanoidwalking_tpu.utils import maths
+
         xpos, xquat = engine.fk(model, state.qpos)
-        _, coms = engine.spatial_inertias(model, params, xpos, xquat)
-        s = engine.motion_subspace(model, xpos, xquat)
-        cvel = engine.body_velocities(model, s, state.qvel)
+        rmats = _jax.vmap(maths.quat_to_mat)(xquat)
+        s = engine.motion_subspace(model, xpos, rmats)
         jac = engine.body_jacobians(model, s)
-        inertias, _ = engine.spatial_inertias(model, params, xpos, xquat)
+        inertias = engine.spatial_inertias(model, params, xpos, xquat, rmats)
         m_mat = engine.mass_matrix(model, jac, inertias)
         ke = 0.5 * state.qvel @ m_mat @ state.qvel
-        pe = sum(float(model.body_mass[i]) * 9.81 * coms[i][2] for i in range(1, model.nbody))
+        coms = xpos + jnp.einsum("bij,bj->bi", rmats, model.body_ipos)
+        pe = sum(float(model.body_mass[i]) * 9.81 * float(coms[i][2]) for i in range(1, model.nbody))
         return float(ke + pe)
 
     state = engine.make_state(model, jnp.array([0.0, 2.0]), jnp.zeros(2))
