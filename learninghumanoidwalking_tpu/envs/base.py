@@ -68,6 +68,22 @@ class Env:
     def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
         raise NotImplementedError
 
+    # Batched entry points used by the trainer. Default: plain vmap. Heavy
+    # envs override these to route physics through the batch-in-lanes engine
+    # (physics/batched.py) while vmapping only the cheap task/obs logic.
+
+    def step_batch(self, states: EnvState, actions: jnp.ndarray) -> EnvState:
+        import jax
+
+        return jax.vmap(self.step)(states, actions)
+
+    def reset_batch(self, keys: jnp.ndarray, iteration: jnp.ndarray | None = None) -> EnvState:
+        import jax
+
+        if iteration is None:
+            return jax.vmap(lambda k: self.reset(k))(keys)
+        return jax.vmap(self.reset)(keys, iteration)
+
     # -- helpers shared by all envs -----------------------------------------
 
     def stack_history(self, obs_history: jnp.ndarray, obs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -137,10 +137,10 @@ class HumanoidEnv(Env):
         return maths.quat_rotate_inv(q, v_world)[:2]
 
     def _motor_pos(self, physics) -> jnp.ndarray:
-        return physics.qpos[self.act_qpos]
+        return engine.take_rows(physics.qpos, self.model.actuator_qpos)
 
     def _motor_vel(self, physics) -> jnp.ndarray:
-        return physics.qvel[self.act_dof]
+        return engine.take_rows(physics.qvel, self.model.actuator_dof)
 
     # ---------------------------------------------------------------- state
 
@@ -174,7 +174,9 @@ class HumanoidEnv(Env):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         fl = jax.random.uniform(k1, (m.nv,), minval=0.0, maxval=2.0)
         dp = jax.random.uniform(k2, (m.nv,), minval=0.02, maxval=2.0)
-        act_mask = jnp.zeros(m.nv).at[self.act_dof].set(1.0)
+        act_mask_np = np.zeros(m.nv, dtype=np.float32)
+        act_mask_np[np.asarray(m.actuator_dof)] = 1.0
+        act_mask = jnp.asarray(act_mask_np)
         mass_scale = jax.random.uniform(k3, (m.nbody,), minval=0.95, maxval=1.05)
         ipos_off = jax.random.uniform(k4, (m.nbody, 3), minval=-0.01, maxval=0.01)
         return base.replace(
@@ -202,7 +204,8 @@ class HumanoidEnv(Env):
 
     # ----------------------------------------------------------------- reset
 
-    def reset(self, key: jnp.ndarray, iteration=None) -> EnvState:
+    def _reset_pre(self, key: jnp.ndarray, iteration):
+        """Everything before the settle substeps (vmappable)."""
         m = self.model
         k_dyn, k_noise, k_task, k_obs, key = jax.random.split(key, 5)
 
@@ -219,19 +222,15 @@ class HumanoidEnv(Env):
             quat = maths.rpy_to_quat(jnp.concatenate([rp, jnp.zeros(1)]))
             qpos = jax.lax.dynamic_update_slice(qpos, quat, (3,))
             jn = jax.random.uniform(kj, (m.nu,), minval=-c, maxval=c)
-            qpos = qpos.at[self.act_qpos].add(jn)
+            qpos = qpos + engine.put_rows(m.nq, m.actuator_qpos, jn)
 
         physics = engine.make_state(m, qpos, jnp.zeros(m.nv))
         task = self._task_reset(k_task, iteration, physics)
-        terrain = self._terrain(task)
+        return physics, dyn, task, k_obs, key
 
-        # settle: a few zero-torque substeps to relax initial contact forces
-        # (base_humanoid_env.py:267-269)
-        def settle(physics, _):
-            return engine.step(m, dyn, physics, jnp.zeros(m.nu), self.sim_dt, terrain), None
-
-        physics, _ = jax.lax.scan(settle, physics, None, length=3)
-
+    def _reset_post(self, physics, dyn, task, k_obs, key, iteration) -> EnvState:
+        """Everything after the settle substeps (vmappable)."""
+        m = self.model
         robot_state = self._robot_state(physics, k_obs)
         base_obs = jnp.concatenate([robot_state, self._external_obs(task)])
         obs_history = jnp.zeros((self.history_len, self.base_obs_len)).at[0].set(base_obs)
@@ -255,19 +254,68 @@ class HumanoidEnv(Env):
             key=key,
         )
 
+    def reset(self, key: jnp.ndarray, iteration=None) -> EnvState:
+        m = self.model
+        physics, dyn, task, k_obs, key = self._reset_pre(key, iteration)
+        terrain = self._terrain(task)
+
+        # settle: a few zero-torque substeps to relax initial contact forces
+        # (base_humanoid_env.py:267-269)
+        def settle(physics, _):
+            return engine.step(m, dyn, physics, jnp.zeros(m.nu), self.sim_dt, terrain), None
+
+        physics, _ = jax.lax.scan(settle, physics, None, length=3)
+        return self._reset_post(physics, dyn, task, k_obs, key, iteration)
+
+    def reset_batch(self, keys: jnp.ndarray, iteration=None) -> EnvState:
+        """Batched reset: vmapped init/task logic around batch-in-lanes
+        settle substeps."""
+        from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
+
+        if iteration is None:
+            physics, dyn, task, k_obs, key = jax.vmap(lambda k: self._reset_pre(k, None))(keys)
+        else:
+            physics, dyn, task, k_obs, key = jax.vmap(self._reset_pre)(keys, iteration)
+        terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
+        batch = keys.shape[0]
+        physics = pd_substeps_batched(
+            self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, terrain, settle=True
+        )
+        if iteration is None:
+            return jax.vmap(lambda p, d, t, ko, k: self._reset_post(p, d, t, ko, k, None))(
+                physics, dyn, task, k_obs, key
+            )
+        return jax.vmap(self._reset_post)(physics, dyn, task, k_obs, key, iteration)
+
     # ------------------------------------------------------------------ step
 
-    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
-        m = self.model
-        k_task, k_obs, k_dyn, k_pert, k_ev, key = jax.random.split(state.key, 6)
-
+    def _pre_step(self, state: EnvState, action: jnp.ndarray) -> jnp.ndarray:
         # action smoothing + nominal-pose offsets
         # (base_humanoid_env.py:199-216, robot_base.py:74-80)
         targets = self.action_smoothing * action + (1.0 - self.action_smoothing) * state.prev_prediction
-        full_target = targets + self.neutral_pose
+        return targets + self.neutral_pose
 
+    def step(self, state: EnvState, action: jnp.ndarray) -> EnvState:
+        m = self.model
+        full_target = self._pre_step(state, action)
         terrain = self._terrain(state.task)
         physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
+        return self._post_step(state, physics, action, full_target)
+
+    def step_batch(self, states: EnvState, actions: jnp.ndarray) -> EnvState:
+        """Batched step: batch-in-lanes physics, vmapped task/obs logic."""
+        from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
+
+        full_target = jax.vmap(self._pre_step)(states, actions)
+        terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
+        physics = pd_substeps_batched(
+            self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
+        )
+        return jax.vmap(self._post_step)(states, physics, actions, full_target)
+
+    def _post_step(self, state: EnvState, physics, action: jnp.ndarray, full_target: jnp.ndarray) -> EnvState:
+        m = self.model
+        k_task, k_obs, k_dyn, k_pert, k_ev, key = jax.random.split(state.key, 6)
 
         task = self._task_step(k_task, state.task, physics)
         components = self._reward(state, physics, task, full_target)

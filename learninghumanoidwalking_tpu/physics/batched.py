@@ -1,0 +1,596 @@
+"""Batch-in-lanes physics engine: explicit-batch twin of engine.py.
+
+Why this exists: TPU XLA tiles the LAST TWO dimensions of every array into
+(8 sublanes x 128 lanes) registers. The vmapped single-env engine produces
+intermediates shaped (B, ..., 3/4/6/18) whose tiny trailing dims are padded to
+128 lanes — up to 40x wasted bandwidth — and (B, 48, 48) contact matrices that
+are re-read with 2.7x padding every solver sweep. Measured on a v5e: a
+(B, 3) quat-rotate chain runs 5x slower than the (3, B) form, and the full
+vmapped substep scales superlinearly with B.
+
+This module implements the SAME math as engine.py with the batch as the
+TRAILING dimension of every array — lanes stay full, sublane padding is
+<= 1.33x — plus a Cholesky-preconditioned projected solve for contacts
+(3 A-matrix sweeps instead of 30). engine.py remains the readable reference
+implementation; tests assert both paths agree to float tolerance, and the
+golden MuJoCo comparison gates them both.
+
+Boundary convention: public entry points accept/return the standard
+leading-batch PhysicsState pytrees used by the env layer, transposing once
+per call (the state is ~150 floats/env — negligible next to 25 substeps).
+
+Internal layouts:
+  qpos (nq, B), qvel (nv, B), xpos (nb, 3, B), xquat (nb, 4, B),
+  rmats (nb, 3, 3, B), S (nv, 6, B), cvel (nb, 6, B),
+  inertias (nb, 6, 6, B), M (nv, nv, B), contacts (nc, ..., B).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from learninghumanoidwalking_tpu.physics import engine as eng
+from learninghumanoidwalking_tpu.physics.model import FREE, HINGE, SLIDE, Contact, DynParams, Model, PhysicsState
+from learninghumanoidwalking_tpu.physics.engine import Terrain, _tables
+from learninghumanoidwalking_tpu.physics.linalg_small import cho_solve_outer, cholesky_outer
+
+# number of preconditioned projected-refinement sweeps for the contact solve
+PROJ_REFINE_ITERS = 4
+
+_BOTTOM = eng._BOTTOM_CORNERS  # (4, 3)
+
+
+# --------------------------------------------------------------------------
+# trailing-batch vector math (axis 0 = component axis, trailing axes = batch)
+# --------------------------------------------------------------------------
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def _quat_mul(q1, q2):
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _quat_rotate(q, v):
+    qv = q[1:]
+    t = 2.0 * _cross(qv, v)
+    return v + q[0] * t + _cross(qv, t)
+
+
+def _quat_rotate_inv(q, v):
+    qc = jnp.concatenate([q[:1], -q[1:]])
+    return _quat_rotate(qc, v)
+
+
+def _quat_normalize(q, eps=1e-12):
+    return q / jnp.maximum(jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True)), eps)
+
+
+def _quat_to_mat(q):
+    """(4, B) -> (3, 3, B)."""
+    w, x, y, z = q
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)]),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)]),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]),
+        ]
+    )
+
+
+def _mat_vec(m, v):
+    """(3, 3, B) @ (3, B) -> (3, B)."""
+    return jnp.einsum("ijb,jb->ib", m, v)
+
+
+def _motion_cross(v, m):
+    w, v0 = v[:3], v[3:]
+    mw, mv = m[:3], m[3:]
+    return jnp.concatenate([_cross(w, mw), _cross(w, mv) + _cross(v0, mw)])
+
+
+def _force_cross(v, f):
+    w, v0 = v[:3], v[3:]
+    n, fl = f[:3], f[3:]
+    return jnp.concatenate([_cross(w, n) + _cross(v0, fl), _cross(w, fl)])
+
+
+def _quat_integrate(q, omega, dt):
+    """(4, B), (3, B): q * exp(0.5 dt omega_local)."""
+    angle = jnp.sqrt(jnp.sum(omega * omega, axis=0)) * dt
+    half = 0.5 * angle
+    s = 0.5 * dt * jnp.sinc(half / jnp.pi)
+    dq = jnp.concatenate([jnp.cos(half)[None], s * omega])
+    return _quat_normalize(_quat_mul(q, dq))
+
+
+# --------------------------------------------------------------------------
+# kinematics / dynamics (trailing batch)
+# --------------------------------------------------------------------------
+
+
+def fk_b(model: Model, qpos: jnp.ndarray):
+    """qpos (nq, B) -> xpos (nb, 3, B), xquat (nb, 4, B)."""
+    batch = qpos.shape[1:]
+    zero3 = jnp.zeros((3,) + batch)
+    ident = jnp.concatenate([jnp.ones((1,) + batch), jnp.zeros((3,) + batch)])
+    xpos = [zero3]
+    xquat = [ident]
+    for i in range(1, model.nbody):
+        p = model.body_parent[i]
+        bpos = np.asarray(model.body_pos)[i].reshape(3, *([1] * len(batch)))
+        bquat = np.asarray(model.body_quat)[i].reshape(4, *([1] * len(batch)))
+        x_pre = xpos[p] + _quat_rotate(xquat[p], jnp.asarray(bpos))
+        q_pre = _quat_mul(xquat[p], jnp.broadcast_to(jnp.asarray(bquat), (4,) + batch))
+        jt = model.jnt_type[i]
+        adr = model.body_qpos_adr[i]
+        if jt == FREE:
+            x = qpos[adr : adr + 3]
+            q = _quat_normalize(qpos[adr + 3 : adr + 7])
+        elif jt == HINGE:
+            angle = qpos[adr]
+            axis = np.asarray(model.jnt_axis)[i]
+            half = 0.5 * angle
+            qj = jnp.stack([jnp.cos(half), axis[0] * jnp.sin(half), axis[1] * jnp.sin(half), axis[2] * jnp.sin(half)])
+            q = _quat_mul(q_pre, qj)
+            anchor = jnp.asarray(np.asarray(model.jnt_pos)[i].reshape(3, *([1] * len(batch))))
+            anchor = jnp.broadcast_to(anchor, (3,) + batch)
+            x = x_pre + _quat_rotate(q_pre, anchor) - _quat_rotate(q, anchor)
+        elif jt == SLIDE:
+            q = q_pre
+            axis = np.asarray(model.jnt_axis)[i].reshape(3, *([1] * len(batch)))
+            x = x_pre + jnp.asarray(axis) * qpos[adr][None]
+        else:
+            q = q_pre
+            x = x_pre
+        xpos.append(x)
+        xquat.append(q)
+    return jnp.stack(xpos), jnp.stack(xquat)
+
+
+def motion_subspace_b(model: Model, xpos, rmats):
+    """-> S (nv, 6, B)."""
+    t = _tables(model)
+    batch = xpos.shape[2:]
+    blocks = []
+    if t["free_body"] >= 0:
+        fb = t["free_body"]
+        rot = rmats[fb]  # (3, 3, B)
+        zeros33 = jnp.zeros((3, 3) + batch)
+        eye33 = jnp.broadcast_to(jnp.eye(3).reshape(3, 3, *([1] * len(batch))), (3, 3) + batch)
+        lin = jnp.concatenate([zeros33, eye33], axis=1)  # (3 dofs, 6, B)
+        # rotational dofs: axes = body frame columns rot[:, k]
+        axes = jnp.stack([rot[:, k] for k in range(3)])  # (3 dofs, 3, B)
+        xp = jnp.broadcast_to(xpos[fb][None], (3, 3) + batch)
+        ang = jnp.concatenate([axes, jnp.stack([_cross(xpos[fb], axes[k]) for k in range(3)])], axis=1)
+        blocks.append(jnp.concatenate([lin, ang]))
+    if t["j_body"].size:
+        rows = []
+        for n, bi in enumerate(t["j_body"]):
+            rot = rmats[bi]
+            axis_l = np.asarray(model.jnt_axis)[bi]
+            pos_l = np.asarray(model.jnt_pos)[bi]
+            axis_w = axis_l[0] * rot[:, 0] + axis_l[1] * rot[:, 1] + axis_l[2] * rot[:, 2]  # (3, B)
+            if t["j_is_hinge"][n] > 0.5:
+                anchor = xpos[bi] + (pos_l[0] * rot[:, 0] + pos_l[1] * rot[:, 1] + pos_l[2] * rot[:, 2])
+                rows.append(jnp.concatenate([axis_w, _cross(anchor, axis_w)]))
+            else:
+                rows.append(jnp.concatenate([jnp.zeros_like(axis_w), axis_w]))
+        blocks.append(jnp.stack(rows))
+    return jnp.concatenate(blocks)
+
+
+def smooth_dynamics_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt):
+    """Trailing-batch smooth dynamics.
+
+    params_t: DynParams transposed to trailing batch (leaves (..., B)).
+    Returns (jac (nb,6,nv,B), chol (B,nv,nv), qacc_smooth (nv,B),
+    act_force (nu,B), s_mat, cvel)."""
+    t = _tables(model)
+    anc = jnp.asarray(t["anc"])  # (nb, nv)
+
+    s_mat = motion_subspace_b(model, xpos, rmats)  # (nv, 6, B)
+    sv = s_mat * qvel[:, None]  # (nv, 6, B)
+    cvel = jnp.einsum("nv,vsb->nsb", anc, sv)  # (nb, 6, B)
+
+    # spatial inertias (nb, 6, 6, B)
+    from learninghumanoidwalking_tpu.physics.spec import _quat_to_mat_np
+
+    iq_mats = np.stack([_quat_to_mat_np(q) for q in np.asarray(model.body_iquat)])
+    rot = jnp.einsum("nijb,njk->nikb", rmats, jnp.asarray(iq_mats))  # (nb,3,3,B)
+    mass_ratio = params_t.body_mass / jnp.maximum(
+        jnp.asarray(np.asarray(model.body_mass))[:, None], 1e-9
+    )  # (nb, B)
+    diag = jnp.asarray(np.asarray(model.body_inertia))[:, :, None] * mass_ratio[:, None]  # (nb,3,B)
+    i_com = jnp.einsum("nijb,njb,nkjb->nikb", rot, diag, rot)
+    com = xpos + jnp.einsum("nijb,njb->nib", rmats, params_t.body_ipos)
+    zero = jnp.zeros_like(com[:, 0])
+    cx = jnp.stack(
+        [
+            jnp.stack([zero, -com[:, 2], com[:, 1]], axis=1),
+            jnp.stack([com[:, 2], zero, -com[:, 0]], axis=1),
+            jnp.stack([-com[:, 1], com[:, 0], zero], axis=1),
+        ],
+        axis=1,
+    )  # (nb, 3, 3, B)
+    m_ = params_t.body_mass[:, None, None]  # (nb,1,1,B)
+    ibar = i_com - m_ * jnp.einsum("nijb,njkb->nikb", cx, cx)
+    eye3 = jnp.broadcast_to(jnp.eye(3)[None, :, :, None], cx.shape)
+    top = jnp.concatenate([ibar, m_ * cx], axis=2)
+    bot = jnp.concatenate([m_ * jnp.swapaxes(cx, 1, 2), m_ * eye3], axis=2)
+    inertias = jnp.concatenate([top, bot], axis=1)  # (nb, 6, 6, B)
+
+    # body jacobians (nb, 6, nv, B) = S^T masked by ancestors
+    jac = s_mat.transpose(1, 0, 2)[None] * anc[:, None, :, None]  # (nb,6,nv,B)
+
+    m_mat = jnp.einsum("najb,nakb,nklb->jlb", jac, inertias, jac)
+    m_mat = m_mat + jnp.asarray(np.diag(np.asarray(model.dof_armature)))[:, :, None]
+
+    # bias (gravity trick: base acceleration = -g)
+    v_dof = jnp.einsum("vn,nsb->vsb", jnp.asarray(np.eye(model.nbody, dtype=np.float32)[np.asarray(model.dof_body)]), cvel)
+    cross_terms = _motion_cross(v_dof.transpose(1, 0, 2), sv.transpose(1, 0, 2)).transpose(1, 0, 2)  # (nv,6,B)
+    g = np.concatenate([np.zeros(3), -np.asarray(model.gravity)]).astype(np.float32)
+    acc = jnp.asarray(g)[None, :, None] + jnp.einsum("nv,vsb->nsb", anc, cross_terms)
+    momentum = jnp.einsum("nijb,njb->nib", inertias, cvel)
+    f = jnp.einsum("nijb,njb->nib", inertias, acc)
+    f = f + _force_cross(cvel.transpose(1, 0, 2), momentum.transpose(1, 0, 2)).transpose(1, 0, 2)
+    qfrc_bias = jnp.einsum("najb,nab->jb", jac, f)
+
+    # actuation
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0][:, None]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1][:, None]
+    ctrl = jnp.clip(ctrl, jnp.asarray(lo), jnp.asarray(hi))
+    act_force = jnp.asarray(np.asarray(model.actuator_gear))[:, None] * ctrl  # (nu, B)
+    qfrc_act = _put_rows_b(model.nv, model.actuator_dof, act_force)
+
+    qfrc_passive = -params_t.dof_frictionloss * jnp.tanh(qvel / 0.02)
+    qfrc_damp = -params_t.dof_damping * qvel
+
+    xf = params_t.xfrc  # (nb, 6, B): (force, torque)
+    moment = _cross(xpos.transpose(1, 0, 2), xf[:, :3].transpose(1, 0, 2)).transpose(1, 0, 2) + xf[:, 3:]
+    f_spatial = jnp.concatenate([moment, xf[:, :3]], axis=1)
+    qfrc_xfrc = jnp.einsum("najb,nab->jb", jac, f_spatial)
+
+    qfrc_smooth = qfrc_act + qfrc_passive + qfrc_damp + qfrc_xfrc - qfrc_bias
+
+    mh = m_mat + dt * _diag_embed_b(params_t.dof_damping)
+    # unrolled Cholesky (trailing batch, no transposes, no custom calls)
+    chol = cholesky_outer(mh)  # (nv, nv, B)
+    qacc_smooth = cho_solve_outer(chol, qfrc_smooth)
+    return jac, chol, qacc_smooth, act_force, s_mat, cvel
+
+
+def _diag_embed_b(v):
+    """(n, B) -> (n, n, B) diagonal."""
+    n = v.shape[0]
+    return jnp.asarray(np.eye(n, dtype=np.float32))[:, :, None] * v[None]
+
+
+def _put_rows_b(n, idx, vals):
+    """Trailing-batch put_rows (contiguous or one-hot)."""
+    idx = np.asarray(idx)
+    if idx.size and np.all(np.diff(idx) == 1):
+        lo = int(idx[0])
+        hi = lo + idx.size
+        pads = []
+        if lo > 0:
+            pads.append(jnp.zeros((lo,) + vals.shape[1:], vals.dtype))
+        pads.append(vals)
+        if hi < n:
+            pads.append(jnp.zeros((n - hi,) + vals.shape[1:], vals.dtype))
+        return jnp.concatenate(pads)
+    oh = jnp.asarray(np.eye(n, dtype=np.float32)[:, idx])
+    return jnp.einsum("ni,i...->n...", oh, vals)
+
+
+def _take_rows_b(x, idx):
+    idx = np.asarray(idx)
+    if idx.size == 0:
+        return x[:0]
+    if np.all(np.diff(idx) == 1):
+        return jax.lax.slice_in_dim(x, int(idx[0]), int(idx[0]) + idx.size, axis=0)
+    oh = jnp.asarray(np.eye(x.shape[0], dtype=np.float32)[idx])
+    return jnp.einsum("in,n...->i...", oh, x)
+
+
+def _cho_solve_b(chol, rhs):
+    """chol (n, n, B) from cholesky_outer; rhs (n, B) or (n, k, B)."""
+    return cho_solve_outer(chol, rhs)
+
+
+# --------------------------------------------------------------------------
+# contacts (trailing batch)
+# --------------------------------------------------------------------------
+
+
+def _support_height_b(terrain_t: Terrain | None, x, y):
+    """x, y: (..., B) world coords -> support height (..., B)."""
+    if terrain_t is None:
+        return jnp.zeros_like(x)
+    # terrain_t leaves: pos (nt, 3, B), size (nt, 3, B), yaw (nt, B), floor_z (B,)
+    c = jnp.cos(terrain_t.yaw)
+    s = jnp.sin(terrain_t.yaw)
+    dx = x[..., None, :] - terrain_t.pos[:, 0]
+    dy = y[..., None, :] - terrain_t.pos[:, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    inside = (jnp.abs(lx) <= terrain_t.size[:, 0]) & (jnp.abs(ly) <= terrain_t.size[:, 1])
+    tops = jnp.where(inside, terrain_t.pos[:, 2] + terrain_t.size[:, 2], -jnp.inf)
+    return jnp.maximum(terrain_t.floor_z, jnp.max(tops, axis=-2))
+
+
+def detect_contacts_b(model: Model, xpos, xquat, rmats, terrain_t):
+    """-> (cpos (nc, 3, B), dist (nc, B), mask (nc, B))."""
+    all_pos, all_dist = [], []
+    for gi in model.foot_geoms:
+        bi = model.geom_body[gi]
+        gpos_l = np.asarray(model.geom_pos)[gi]
+        gquat_l = np.asarray(model.geom_quat)[gi]
+        size = np.asarray(model.geom_size)[gi]
+        rot_b = rmats[bi]  # (3, 3, B)
+        # geom rotation = body rot @ const geom quat rot
+        from learninghumanoidwalking_tpu.physics.spec import _quat_to_mat_np
+
+        gr = _quat_to_mat_np(gquat_l)
+        rot_g = jnp.einsum("ijb,jk->ikb", rot_b, jnp.asarray(gr))
+        gpos = xpos[bi] + _mat_vec(rot_b, jnp.broadcast_to(jnp.asarray(gpos_l)[:, None], (3,) + xpos.shape[2:]))
+        corners_l = _BOTTOM * size[None, :]  # (4, 3)
+        # world corners: (4, 3, B)
+        cw = gpos[None] + jnp.einsum("ijb,cj->cib", rot_g, jnp.asarray(corners_l))
+        support = _support_height_b(terrain_t, cw[:, 0], cw[:, 1])
+        dist = cw[:, 2] - support
+        all_pos.append(cw)
+        all_dist.append(dist)
+    cpos = jnp.concatenate(all_pos)  # (nc, 3, B)
+    dist = jnp.concatenate(all_dist)  # (nc, B)
+    mask = (dist < eng.CONTACT_MARGIN).astype(cpos.dtype)
+    return cpos, dist, mask
+
+
+def contact_jacobian_b(model: Model, jac, cpos):
+    """-> Jc (nc, 3, nv, B): rows are (normal=z, t1=x, t2=y) point velocities."""
+    blocks = []
+    slot = 0
+    for gi in model.foot_geoms:
+        bi = model.geom_body[gi]
+        jb = jac[bi]  # (6, nv, B)
+        ang, lin = jb[:3], jb[3:]
+        for c in range(4):
+            p = cpos[slot]  # (3, B)
+            # v_point = lin + ang x p  per dof: lin[:, v] - p x ang[:, v]
+            jp = lin - jnp.stack(
+                [
+                    p[1] * ang[2] - p[2] * ang[1],
+                    p[2] * ang[0] - p[0] * ang[2],
+                    p[0] * ang[1] - p[1] * ang[0],
+                ]
+            )
+            # frame rows: normal = z, tangents = x, y
+            blocks.append(jnp.stack([jp[2], jp[0], jp[1]]))
+            slot += 1
+    return jnp.stack(blocks)  # (nc, 3, nv, B)
+
+
+def constraint_solve_b(model: Model, qvel, jac, chol, qacc_smooth, cpos, dist, mask):
+    """Soft-contact solve, trailing batch. Returns (qacc (nv,B), force (nc,3,B)).
+
+    Instead of many Jacobi sweeps, uses the exact (Cholesky) solve of the
+    regularized dual as a preconditioner with a few projected refinements:
+    each sweep is exact on the current active set, so 3-4 sweeps reach the
+    same forces 30 plain sweeps did (validated against engine.py and MuJoCo).
+    """
+    nc = model.ncon
+    if nc == 0:
+        return qacc_smooth, jnp.zeros((0, 3) + qvel.shape[1:])
+
+    jc = contact_jacobian_b(model, jac, cpos)  # (nc, 3, nv, B)
+    jc_flat = jc.reshape(3 * nc, model.nv, -1)  # (3nc, nv, B)
+    minv_jt = _cho_solve_b(chol, jc_flat.transpose(1, 0, 2))  # (nv, 3nc, B)
+    a_mat = jnp.einsum("ivb,vjb->ijb", jc_flat, minv_jt)  # (3nc, 3nc, B)
+
+    pen = jnp.minimum(dist, 0.0)  # (nc, B)
+    imp_min = float(np.asarray(model.imp_min))
+    imp_max = float(np.asarray(model.imp_max))
+    width = float(np.asarray(model.imp_width))
+    timeconst = float(np.asarray(model.timeconst))
+    dampratio = float(np.asarray(model.dampratio))
+    imp = imp_min + (imp_max - imp_min) * jnp.clip(-pen / width, 0.0, 1.0)
+    k = 1.0 / max(imp_max**2 * timeconst**2 * dampratio**2, 1e-12)
+    b_c = 2.0 / max(imp_max * timeconst, 1e-12)
+
+    vel_c = jnp.einsum("cfvb,vb->cfb", jc, qvel)  # (nc, 3, B)
+    aref = -b_c * vel_c
+    aref = aref.at[:, 0].add(-k * imp * pen)
+
+    diag_a = jnp.diagonal(a_mat, axis1=0, axis2=1).transpose(1, 0)  # (3nc, B)
+    r_reg = jnp.repeat((1.0 - imp) / jnp.maximum(imp, 1e-6), 3, axis=0)  # (3nc, B)
+    r_diag = r_reg * jnp.clip(diag_a, 1e-8, None)
+    mask3 = jnp.repeat(mask, 3, axis=0)  # (3nc, B)
+    a_mat = a_mat * (mask3[:, None] * mask3[None, :]) + _diag_embed_b(1.0 - mask3 + r_diag * mask3)
+
+    b_vec = (aref.reshape(3 * nc, -1) - jnp.einsum("ivb,vb->ib", jc_flat, qacc_smooth)) * mask3
+
+    mu = np.repeat([float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms], 4).astype(np.float32)
+    mu = jnp.asarray(mu)[:, None]
+
+    chol_a = cholesky_outer(a_mat)  # (3nc, 3nc, B)
+
+    def project(f):
+        f3 = f.reshape(nc, 3, -1)
+        fn = jnp.maximum(f3[:, 0], 0.0)
+        ft = f3[:, 1:]
+        ft_norm = jnp.sqrt(jnp.sum(ft * ft, axis=1, keepdims=True)) + 1e-9
+        scale = jnp.minimum(1.0, (mu * fn)[:, None] / ft_norm)
+        f3 = jnp.concatenate([fn[:, None], ft * scale], axis=1) * mask[:, None]
+        return f3.reshape(3 * nc, -1)
+
+    def sweep(f, _):
+        r = b_vec - jnp.einsum("ijb,jb->ib", a_mat, f)
+        f = project(f + _cho_solve_b(chol_a, r))
+        return f, None
+
+    f0 = project(_cho_solve_b(chol_a, b_vec))
+    force, _ = jax.lax.scan(sweep, f0, None, length=PROJ_REFINE_ITERS - 1)
+
+    qfrc_con = jnp.einsum("ivb,ib->vb", jc_flat, force)
+    qacc = qacc_smooth + _cho_solve_b(chol, qfrc_con)
+    return qacc, force.reshape(nc, 3, -1)
+
+
+# --------------------------------------------------------------------------
+# integration + step
+# --------------------------------------------------------------------------
+
+
+def integrate_b(model: Model, qpos, qvel, dt):
+    t = _tables(model)
+    new_qpos = qpos
+    if t["j_qpos"].size:
+        new_qpos = new_qpos + _put_rows_b(model.nq, t["j_qpos"], dt * _take_rows_b(qvel, t["j_dof"]))
+    fb = t["free_body"]
+    if fb >= 0:
+        qadr, dadr = model.body_qpos_adr[fb], model.body_dof_adr[fb]
+        pos = qpos[qadr : qadr + 3] + dt * qvel[dadr : dadr + 3]
+        quat = _quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
+        head = new_qpos[:qadr] if qadr > 0 else new_qpos[:0]
+        tail = new_qpos[qadr + 7 :]
+        new_qpos = jnp.concatenate([head, pos, quat, tail])
+    return new_qpos
+
+
+def step_b(model: Model, params_t: DynParams, qpos, qvel, ctrl, dt, terrain_t=None):
+    """One substep, trailing batch. Returns (qpos, qvel, qacc, act_force,
+    cpos, dist, mask, force, xpos, xquat) — all trailing-batch."""
+    xpos, xquat = fk_b(model, qpos)
+    rmats = _quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)  # (nb,3,3,B)
+    jac, chol, qacc_smooth, act_force, s_mat, cvel = smooth_dynamics_b(
+        model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt
+    )
+    cpos, dist, mask = detect_contacts_b(model, xpos, xquat, rmats, terrain_t)
+    qacc, force = constraint_solve_b(model, qvel, jac, chol, qacc_smooth, cpos, dist, mask)
+    qvel = qvel + dt * qacc
+    qpos = integrate_b(model, qpos, qvel, dt)
+    return qpos, qvel, qacc, act_force, cpos, dist, mask, force
+
+
+# --------------------------------------------------------------------------
+# public boundary: leading-batch PhysicsState in/out
+# --------------------------------------------------------------------------
+
+
+def _t2(x):  # (B, a) <-> (a, B)
+    return jnp.swapaxes(x, 0, 1) if x.ndim >= 2 else x
+
+
+def _params_to_trailing(params: DynParams) -> DynParams:
+    return DynParams(
+        dof_damping=_t2(params.dof_damping),
+        dof_frictionloss=_t2(params.dof_frictionloss),
+        body_mass=_t2(params.body_mass),
+        body_ipos=jnp.transpose(params.body_ipos, (1, 2, 0)),
+        xfrc=jnp.transpose(params.xfrc, (1, 2, 0)),
+        kp=_t2(params.kp),
+        kd=_t2(params.kd),
+        bemf_gain=_t2(params.bemf_gain),
+    )
+
+
+def _terrain_to_trailing(terrain: Terrain | None) -> Terrain | None:
+    if terrain is None:
+        return None
+    return Terrain(
+        pos=jnp.transpose(terrain.pos, (1, 2, 0)),
+        size=jnp.transpose(terrain.size, (1, 2, 0)),
+        yaw=_t2(terrain.yaw),
+        floor_z=terrain.floor_z,
+    )
+
+
+def pd_substeps_batched(
+    model: Model,
+    params: DynParams,  # leading-batch (B, ...)
+    physics: PhysicsState,  # leading-batch
+    target: jnp.ndarray,  # (B, nu)
+    frame_skip: int,
+    sim_dt: float,
+    terrain: Terrain | None = None,
+    settle: bool = False,
+) -> PhysicsState:
+    """Batched drop-in for robots.pd.pd_substeps over a whole env batch.
+
+    Transposes to trailing-batch once, scans frame_skip substeps, and
+    rebuilds the leading-batch PhysicsState (with FK caches refreshed).
+    With settle=True, applies zero torque (reset settling steps).
+    """
+    params_t = _params_to_trailing(params)
+    terrain_t = _terrain_to_trailing(terrain)
+    qpos = _t2(physics.qpos)
+    qvel = _t2(physics.qvel)
+    tgt = _t2(target)
+
+    def substep(carry, _):
+        qpos, qvel = carry
+        if settle:
+            ctrl = jnp.zeros((model.nu,) + qpos.shape[1:])
+        else:
+            q = _take_rows_b(qpos, model.actuator_qpos)
+            v = _take_rows_b(qvel, model.actuator_dof)
+            tau = params_t.kp * (tgt - q) - params_t.kd * v - params_t.bemf_gain * v
+            ctrl = tau / jnp.asarray(np.asarray(model.actuator_gear))[:, None]
+        out = step_b(model, params_t, qpos, qvel, ctrl, sim_dt, terrain_t)
+        qpos, qvel = out[0], out[1]
+        return (qpos, qvel), out[2:]
+
+    (qpos, qvel), tail = jax.lax.scan(substep, (qpos, qvel), None, length=frame_skip)
+    qacc, act_force, cpos, dist, mask, force = [jax.tree.map(lambda x: x[-1], t) for t in tail]
+
+    # rebuild leading-batch state with fresh FK caches
+    xpos, xquat = fk_b(model, qpos)
+    rmats = _quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)
+    s_mat = motion_subspace_b(model, xpos, rmats)
+    anc = jnp.asarray(_tables(model)["anc"])
+    cvel = jnp.einsum("nv,vsb->nsb", anc, s_mat * qvel[:, None])
+
+    batch = qpos.shape[1]
+    ncon = model.ncon
+    frame = jnp.broadcast_to(jnp.eye(3)[jnp.array([2, 0, 1])][None, :, :], (ncon, 3, 3))
+    contact = Contact(
+        pos=jnp.transpose(cpos, (2, 0, 1)),
+        frame=jnp.broadcast_to(frame[None], (batch, ncon, 3, 3)),
+        dist=_t2(dist),
+        geom=jnp.broadcast_to(
+            jnp.asarray(np.repeat([gi for gi in model.foot_geoms], 4), dtype=jnp.int32)[None], (batch, ncon)
+        ),
+        force=jnp.transpose(force, (2, 0, 1)),
+        mask=_t2(mask),
+    )
+    return PhysicsState(
+        qpos=_t2(qpos),
+        qvel=_t2(qvel),
+        qacc=_t2(qacc),
+        act_torque=_t2(act_force),
+        xpos=jnp.transpose(xpos, (2, 0, 1)),
+        xquat=jnp.transpose(xquat, (2, 0, 1)),
+        cvel=jnp.transpose(cvel, (2, 0, 1)),
+        contact=contact,
+        time=physics.time + frame_skip * sim_dt,
+    )

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from learninghumanoidwalking_tpu.physics.linalg_small import cho_solve_outer, cholesky_outer
 from learninghumanoidwalking_tpu.physics.model import BOX, FREE, HINGE, SLIDE, Contact, DynParams, Model, PhysicsState
 from learninghumanoidwalking_tpu.utils import maths
 
@@ -56,6 +57,55 @@ _BOX_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
     dtype=np.float32,
 )
+# Contact corners: the 4 bottom-face corners of each foot box. MuJoCo's
+# plane-box collider emits the <=4 deepest corners; for feet these are the
+# bottom face except when the foot is flipped >90 deg, which the tasks
+# terminate long before. Using a static corner set avoids per-substep TPU
+# argsorts and keeps the contact system at 4 slots per foot.
+_BOTTOM_CORNERS = np.array(
+    [[sx, sy, -1.0] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)],
+    dtype=np.float32,
+)
+
+
+# --------------------------------------------------------------------------
+# gather-free static row selection
+#
+# TPU gathers/scatters cost ~1000x a small matvec on this workload (each
+# dynamic gather at B=1024 measured ~0.2 ms vs 0.0002 ms for an einsum), so
+# all static index selections in the hot path go through slices (contiguous
+# case, which all shipped robots satisfy by construction) or one-hot matmuls.
+# --------------------------------------------------------------------------
+
+
+def take_rows(x: jnp.ndarray, idx) -> jnp.ndarray:
+    """x[idx] for a static index tuple, without emitting a gather."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size == 0:
+        return x[:0]
+    if np.all(np.diff(idx) == 1):
+        return jax.lax.slice_in_dim(x, int(idx[0]), int(idx[0]) + idx.size, axis=0)
+    oh = jnp.asarray(np.eye(x.shape[0], dtype=np.float32)[idx])
+    flat = x.reshape(x.shape[0], -1)
+    return (oh @ flat).reshape((idx.size,) + x.shape[1:])
+
+
+def put_rows(n: int, idx, vals: jnp.ndarray) -> jnp.ndarray:
+    """Zeros(n, ...) with vals placed at static rows idx, without a scatter."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size and np.all(np.diff(idx) == 1):
+        lo = int(idx[0])
+        hi = lo + idx.size
+        pads = []
+        if lo > 0:
+            pads.append(jnp.zeros((lo,) + vals.shape[1:], vals.dtype))
+        pads.append(vals)
+        if hi < n:
+            pads.append(jnp.zeros((n - hi,) + vals.shape[1:], vals.dtype))
+        return jnp.concatenate(pads)
+    oh = jnp.asarray(np.eye(n, dtype=np.float32)[:, idx] if idx.size else np.zeros((n, 0), np.float32))
+    flat = vals.reshape(idx.size, -1) if idx.size else jnp.zeros((0, int(np.prod(vals.shape[1:]))))
+    return (oh @ flat).reshape((n,) + vals.shape[1:])
 
 
 @struct.dataclass
@@ -179,11 +229,12 @@ def fk(model: Model, qpos: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def motion_subspace(model: Model, xpos: jnp.ndarray, rmats: jnp.ndarray) -> jnp.ndarray:
     """(nv, 6) world-frame screw axes S_d, motion = (omega, v_at_origin).
 
-    Stacked over all 1-dof joints; the (single, root) free joint is
-    special-cased.
+    Gather-free: dofs are laid out in body order (free root first, then
+    1-dof joints), so the matrix is a concatenation of the free-joint block
+    and the stacked joint block.
     """
     t = _tables(model)
-    s_mat = jnp.zeros((model.nv, 6))
+    blocks = []
 
     if t["free_body"] >= 0:
         fb = t["free_body"]
@@ -192,18 +243,20 @@ def motion_subspace(model: Model, xpos: jnp.ndarray, rmats: jnp.ndarray) -> jnp.
         # the body origin)
         lin = jnp.concatenate([jnp.zeros((3, 3)), jnp.eye(3)], axis=1)  # (3, 6)
         ang = jnp.concatenate([rot.T, jnp.cross(xpos[fb][None, :], rot.T)], axis=1)  # (3, 6)
-        s_mat = jax.lax.dynamic_update_slice(s_mat, jnp.concatenate([lin, ang]), (model.body_dof_adr[fb], 0))
+        blocks.append(jnp.concatenate([lin, ang]))
 
     if t["j_dof"].size:
-        jb = jnp.asarray(t["j_body"])
-        rots = rmats[jb]  # (nj, 3, 3)
-        axes = jnp.einsum("nij,nj->ni", rots, model.jnt_axis[jb])
-        anchors = xpos[jb] + jnp.einsum("nij,nj->ni", rots, model.jnt_pos[jb])
-        hinge = t["j_is_hinge"][:, None]
+        rots = take_rows(rmats, t["j_body"])  # (nj, 3, 3)
+        axes_local = take_rows(model.jnt_axis, t["j_body"])
+        pos_local = take_rows(model.jnt_pos, t["j_body"])
+        axes = jnp.einsum("nij,nj->ni", rots, axes_local)
+        anchors = take_rows(xpos, t["j_body"]) + jnp.einsum("nij,nj->ni", rots, pos_local)
+        hinge = jnp.asarray(t["j_is_hinge"])[:, None]
         s_ang = hinge * axes
         s_lin = hinge * jnp.cross(anchors, axes) + (1.0 - hinge) * axes
-        s_mat = s_mat.at[jnp.asarray(t["j_dof"])].set(jnp.concatenate([s_ang, s_lin], axis=1))
-    return s_mat
+        blocks.append(jnp.concatenate([s_ang, s_lin], axis=1))
+
+    return jnp.concatenate(blocks) if blocks else jnp.zeros((0, 6))
 
 
 def body_jacobians(model: Model, s_mat: jnp.ndarray) -> jnp.ndarray:
@@ -259,9 +312,8 @@ def bias_force(
     """
     t = _tables(model)
     anc = jnp.asarray(t["anc"])
-    dof_body = jnp.asarray(model.dof_body, dtype=jnp.int32)
     sv = s_mat * qvel[:, None]  # (nv, 6)
-    v_dof = cvel[dof_body]  # (nv, 6) velocity of each dof's body
+    v_dof = take_rows(cvel, model.dof_body)  # (nv, 6) velocity of each dof's body
     cross_terms = jax.vmap(maths.motion_cross)(v_dof, sv)  # (nv, 6)
     a0 = jnp.concatenate([jnp.zeros(3), -model.gravity])
     acc = a0[None, :] + anc @ cross_terms  # (nb, 6)
@@ -305,17 +357,15 @@ def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
 def _foot_floor_contacts(
     model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, gi: int, terrain: Terrain | None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """4 deepest corners of foot box `gi` vs the support surface (matches
-    MuJoCo plane-box collision, which emits up to 4 corner contacts)."""
+    """Bottom-face corners of foot box `gi` vs the support surface."""
     pos, quat = geom_world_pose(model, xpos, xquat, gi)
     rot = maths.quat_to_mat(quat)
-    corners = pos[None, :] + (_BOX_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (8,3)
+    corners = pos[None, :] + (_BOTTOM_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (4,3)
     if terrain is None:
         dist = corners[:, 2]
     else:
         dist = corners[:, 2] - jax.vmap(lambda c: support_height(terrain, c[:2]))(corners)
-    order = jnp.argsort(dist)[:4]
-    return corners[order], dist[order]
+    return corners, dist
 
 
 def detect_contacts(
@@ -347,10 +397,17 @@ def detect_contacts(
 
 
 def contact_jacobian(model: Model, jac: jnp.ndarray, contact: Contact) -> jnp.ndarray:
-    """(ncon, 3, nv): contact-point velocities projected onto contact frames."""
-    geom_to_body = np.asarray(model.geom_body, dtype=np.int32)
-    body_idx = jnp.asarray(geom_to_body)[contact.geom]  # (ncon,)
-    jac_c = jac[body_idx]  # (ncon, 6, nv)
+    """(ncon, 3, nv): contact-point velocities projected onto contact frames.
+
+    Gather-free: contact slots map to foot geoms statically (8 per geom in
+    declaration order), so each geom's body Jacobian is selected with a static
+    scalar index and broadcast over its slots.
+    """
+    jac_blocks = []
+    for gi in model.foot_geoms:
+        bi = model.geom_body[gi]
+        jac_blocks.append(jnp.broadcast_to(jac[bi][None], (4,) + jac[bi].shape))
+    jac_c = jnp.concatenate(jac_blocks)  # (ncon, 6, nv)
     ang, lin = jac_c[:, :3, :], jac_c[:, 3:, :]
     px = jax.vmap(maths.skew)(contact.pos)  # (ncon, 3, 3)
     jp = lin - jnp.einsum("cij,cjv->civ", px, ang)
@@ -416,7 +473,7 @@ def _smooth_dynamics(
     # actuation: force = gear * ctrl at the actuated dof (clipped to ctrlrange)
     ctrl = jnp.clip(ctrl, model.actuator_ctrlrange[:, 0], model.actuator_ctrlrange[:, 1])
     act_force = model.actuator_gear * ctrl
-    qfrc_act = jnp.zeros(model.nv).at[jnp.asarray(model.actuator_dof, dtype=jnp.int32)].add(act_force)
+    qfrc_act = put_rows(model.nv, model.actuator_dof, act_force)
 
     # passive: smooth frictionloss; joint damping is integrated implicitly
     qfrc_passive = -params.dof_frictionloss * jnp.tanh(state.qvel / 0.02)
@@ -432,8 +489,10 @@ def _smooth_dynamics(
 
     # implicit joint damping (MuJoCo Euler integrator semantics)
     mh = m_mat + dt * jnp.diag(params.dof_damping)
-    chol = jax.scipy.linalg.cho_factor(mh)
-    qacc_smooth = jax.scipy.linalg.cho_solve(chol, qfrc_smooth)
+    # unrolled Cholesky: the axon runtime's linalg custom call costs ~2 ms
+    # per substep at B=1024 (see physics/linalg_small.py)
+    chol = cholesky_outer(mh)
+    qacc_smooth = cho_solve_outer(chol, qfrc_smooth)
     return xpos, xquat, jac, chol, qacc_smooth, act_force
 
 
@@ -452,7 +511,7 @@ def _constraint_solve(
 
     jc = contact_jacobian(model, jac, contact)  # (nc, 3, nv)
     jc_flat = jc.reshape(3 * nc, model.nv)
-    minv_jt = jax.scipy.linalg.cho_solve(chol, jc_flat.T)  # (nv, 3nc)
+    minv_jt = cho_solve_outer(chol, jc_flat.T)  # (nv, 3nc)
     a_mat = jc_flat @ minv_jt
 
     # impedance d(r) from solimp, reference acceleration from solref
@@ -473,11 +532,14 @@ def _constraint_solve(
     a_mat = a_mat * (mask3[:, None] * mask3[None, :]) + jnp.diag(1.0 - mask3)
 
     b_vec = (aref.reshape(-1) - jc_flat @ qacc_smooth) * mask3
-    mu = jnp.asarray(model.geom_friction)[contact.geom]
-    force = _jacobi_solve(a_mat, b_vec, mu, contact.mask, SOLVER_ITERATIONS)
+    # per-slot friction is static: 8 slots per foot geom in declaration order
+    mu_static = np.repeat(
+        [float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms], 4
+    ).astype(np.float32)
+    force = _jacobi_solve(a_mat, b_vec, jnp.asarray(mu_static), contact.mask, SOLVER_ITERATIONS)
 
     qfrc_con = jc_flat.T @ force.reshape(-1)
-    qacc = qacc_smooth + jax.scipy.linalg.cho_solve(chol, qfrc_con)
+    qacc = qacc_smooth + cho_solve_outer(chol, qfrc_con)
     return qacc, contact.replace(force=force)
 
 
@@ -486,9 +548,7 @@ def _integrate(model: Model, qpos: jnp.ndarray, qvel: jnp.ndarray, dt: float) ->
     t = _tables(model)
     new_qpos = qpos
     if t["j_qpos"].size:
-        jq = jnp.asarray(t["j_qpos"])
-        jd = jnp.asarray(t["j_dof"])
-        new_qpos = new_qpos.at[jq].add(dt * qvel[jd])
+        new_qpos = new_qpos + put_rows(model.nq, t["j_qpos"], dt * take_rows(qvel, t["j_dof"]))
     fb = t["free_body"]
     if fb >= 0:
         qadr, dadr = model.body_qpos_adr[fb], model.body_dof_adr[fb]
@@ -594,16 +654,10 @@ def self_collision(model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray) -> jnp.n
     suffices (no forces)."""
     if not model.self_pairs:
         return jnp.zeros((), dtype=bool)
-    g1 = np.asarray([p[0] for p in model.self_pairs], dtype=np.int32)
-    g2 = np.asarray([p[1] for p in model.self_pairs], dtype=np.int32)
-    bodies = np.asarray(model.geom_body, dtype=np.int32)
-
-    def world(g):
-        b = jnp.asarray(bodies)[g]
-        return xpos[b] + jax.vmap(maths.quat_rotate)(xquat[b], model.geom_pos[g])
-
-    p1 = world(jnp.asarray(g1))
-    p2 = world(jnp.asarray(g2))
-    r1 = model.geom_size[jnp.asarray(g1), 0]
-    r2 = model.geom_size[jnp.asarray(g2), 0]
-    return jnp.any(jnp.linalg.norm(p1 - p2, axis=1) < (r1 + r2))
+    flags = []
+    for g1, g2 in model.self_pairs:  # static geom/body indices -> no gathers
+        p1, _ = geom_world_pose(model, xpos, xquat, g1)
+        p2, _ = geom_world_pose(model, xpos, xquat, g2)
+        r1r2 = float(np.asarray(model.geom_size)[g1, 0] + np.asarray(model.geom_size)[g2, 0])
+        flags.append(jnp.sum(jnp.square(p1 - p2)) < r1r2 * r1r2)
+    return jnp.any(jnp.stack(flags))

@@ -313,9 +313,9 @@ def lower(spec: RobotSpec) -> m.Model:
     foot_geoms = left + right
     self_pairs = tuple((gname_to_idx[a], gname_to_idx[b]) for a, b in spec.self_collision_pairs)
 
-    # 4 corner slots per foot geom. Terrain boxes do not add slots: terrain
-    # enters as a support-height query under each corner (engine.detect_contacts),
-    # keeping the contact system fixed-size and small.
+    # 4 bottom-corner slots per foot geom (static corner set; see
+    # engine._BOTTOM_CORNERS). Terrain boxes do not add slots: terrain enters
+    # as a support-height query under each corner (engine.detect_contacts).
     ncon = 4 * len(foot_geoms)
 
     # actuators ---------------------------------------------------------------

@@ -198,7 +198,7 @@ class PPO:
             norm = init_norm((self.env.obs_size,))
 
         env_keys = jax.random.split(k_env, self.cfg.num_envs)
-        env_state = jax.vmap(self.env.reset)(env_keys)
+        env_state = self.env.reset_batch(env_keys)
         return TrainState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -249,14 +249,14 @@ class PPO:
             log_prob = networks.gaussian_logp(mean, log_std, action)
             value = self._value(ts.critic_params, ts.norm, obs)
 
-            stepped = jax.vmap(self.env.step)(env_state, action)
+            stepped = self.env.step_batch(env_state, action)
             next_value = self._value(ts.critic_params, ts.norm, stepped.obs)
 
             terminated = stepped.done
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
 
             out = dict(
@@ -298,7 +298,7 @@ class PPO:
             log_prob = networks.gaussian_logp(mean, log_std, action)
             c_carry2, value = self.critic_def.apply(ts.critic_params, c_carry, nobs)
 
-            stepped = jax.vmap(self.env.step)(env_state, action)
+            stepped = self.env.step_batch(env_state, action)
             # bootstrap value of the next (pre-reset) obs with a throwaway carry
             _, next_value = self.critic_def.apply(
                 ts.critic_params, c_carry2, ts.norm.normalize(stepped.obs)
@@ -308,7 +308,7 @@ class PPO:
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
             a_carry2 = self._mask_carry(a_carry2, done)
             c_carry2 = self._mask_carry(c_carry2, done)
@@ -636,7 +636,7 @@ class PPO:
         cfg = self.cfg
         k_env, k_roll = jax.random.split(key)
         env_keys = jax.random.split(k_env, cfg.num_envs)
-        env_state = jax.vmap(self.env.reset)(env_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+        env_state = self.env.reset_batch(env_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
 
         def step_fn(carry, _):
             env_state, a_carry, ep_ret, ep_len, ret_acc, len_acc, cnt = carry
@@ -646,7 +646,7 @@ class PPO:
                 )
             else:
                 mean, _ = self._policy(ts.actor_params, ts.norm, env_state.obs)
-            stepped = jax.vmap(self.env.step)(env_state, mean)
+            stepped = self.env.step_batch(env_state, mean)
             terminated = stepped.done
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
@@ -657,7 +657,7 @@ class PPO:
             cnt = cnt + jnp.sum(done.astype(jnp.float32))
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0.0, ep_len)
-            reset_state = jax.vmap(self.env.reset)(stepped.key, stepped.iteration)
+            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
             env_state = _tree_where(done, reset_state, stepped)
             if cfg.recurrent:
                 a_carry = self._mask_carry(a_carry, done)

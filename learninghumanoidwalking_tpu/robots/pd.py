@@ -26,12 +26,9 @@ def pd_substeps(
     sim_dt: float,
     terrain: engine.Terrain | None = None,
 ) -> PhysicsState:
-    act_qpos = jnp.asarray(model.actuator_qpos)
-    act_dof = jnp.asarray(model.actuator_dof)
-
     def substep(physics, _):
-        q = physics.qpos[act_qpos]
-        v = physics.qvel[act_dof]
+        q = engine.take_rows(physics.qpos, model.actuator_qpos)
+        v = engine.take_rows(physics.qvel, model.actuator_dof)
         # tau = kp (p* - p) + kd (0 - v)  (robot_interface.py:493-508 with
         # zero velocity targets, robot_base.py:57)
         tau = dyn.kp * (target - q) - dyn.kd * v
