@@ -28,6 +28,12 @@ def main():
     from learninghumanoidwalking_tpu.envs import make_env
     from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig
 
+    try:  # persistent compile cache (compiles cost minutes on this host)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     env = make_env("jvrc_walk")
     cfg = PPOConfig(num_envs=NUM_ENVS, rollout_len=ROLLOUT_LEN, minibatch_size=8192, max_traj_len=400)
     ppo = PPO(env, cfg)
@@ -36,13 +42,14 @@ def main():
     rollout = jax.jit(lambda ts, key: ppo._rollout(ts, key, False)[2]["reward"].sum())
 
     key = jax.random.PRNGKey(1)
-    # compile + warm up
-    rollout(ts, key).block_until_ready()
+    # compile + warm up; float() forces a fetch — block_until_ready does not
+    # reliably block on the tunneled axon runtime
+    float(rollout(ts, key))
 
     n_iters = 5
     t0 = time.perf_counter()
     for i in range(n_iters):
-        rollout(ts, jax.random.fold_in(key, i)).block_until_ready()
+        float(rollout(ts, jax.random.fold_in(key, i)))
     dt = time.perf_counter() - t0
 
     steps = NUM_ENVS * ROLLOUT_LEN * n_iters

@@ -15,6 +15,7 @@ ENVIRONMENTS: dict[str, tuple[str, str]] = {
     "h1_walk": ("learninghumanoidwalking_tpu.envs.h1_walk", "H1WalkEnv"),
     "jvrc_walk": ("learninghumanoidwalking_tpu.envs.jvrc_walk", "JvrcWalkEnv"),
     "jvrc_step": ("learninghumanoidwalking_tpu.envs.jvrc_step", "JvrcStepEnv"),
+    "jvrc_walk_rough": ("learninghumanoidwalking_tpu.envs.jvrc_walk_rough", "JvrcWalkRoughEnv"),
 }
 
 

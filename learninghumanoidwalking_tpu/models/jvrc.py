@@ -109,7 +109,7 @@ def _leg(prefix: str, sign: float) -> list:
     ]
 
 
-def jvrc_spec(nterrain: int = 0) -> RobotSpec:
+def jvrc_spec(nterrain: int = 0, timeconst: float = 0.02, dampratio: float = 1.0) -> RobotSpec:
     pelvis = Body(
         name="PELVIS_S",
         parent="world",
@@ -137,6 +137,8 @@ def jvrc_spec(nterrain: int = 0) -> RobotSpec:
             ("L_thigh_prox", "R_thigh_prox"),
         ],
         nterrain=nterrain,
+        timeconst=timeconst,
+        dampratio=dampratio,
     )
 
 

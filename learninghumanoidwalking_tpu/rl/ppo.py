@@ -237,8 +237,18 @@ class PPO:
             return self._rollout_recurrent(ts, key, deterministic)
         cfg = self.cfg
 
+        # Reset pool: fresh per-iteration reset states computed ONCE, reused
+        # for every env that finishes during this rollout (brax-style
+        # auto-reset). A per-step fresh reset costs 3 settle substeps + FK
+        # per control step; the pool amortizes it 16x. Each env draws its own
+        # pool entry; the PRNG key is refreshed at use so subsequent episodes
+        # diverge.
+        key, k_pool = jax.random.split(key)
+        pool_keys = jax.random.split(k_pool, cfg.num_envs)
+        reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+
         def step_fn(carry, _):
-            env_state, key = carry
+            env_state, ep_ret, key = carry
             key, k_act = jax.random.split(key)
             obs = env_state.obs
             mean, log_std = self._policy(ts.actor_params, ts.norm, obs)
@@ -256,8 +266,9 @@ class PPO:
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
+            reset_state = reset_pool.replace(key=stepped.key, iteration=stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
+            ep_ret = ep_ret + stepped.reward
 
             out = dict(
                 obs=obs,
@@ -269,11 +280,14 @@ class PPO:
                 terminated=terminated,
                 done=done,
                 ep_steps=stepped.steps,
+                ep_return=jnp.where(done, ep_ret, 0.0),
             )
-            return (next_state, key), out
+            ep_ret = jnp.where(done, 0.0, ep_ret)
+            return (next_state, ep_ret, key), out
 
-        (env_state, key), traj = jax.lax.scan(
-            step_fn, (ts.env_state, key), None, length=cfg.rollout_len
+        ep_ret0 = getattr(ts.env_state, "_ep_ret", None)
+        (env_state, _, key), traj = jax.lax.scan(
+            step_fn, (ts.env_state, jnp.zeros(cfg.num_envs), key), None, length=cfg.rollout_len
         )
         return env_state, key, traj
 
@@ -284,6 +298,10 @@ class PPO:
         replacing the reference's padded-trajectory BPTT, ppo.py:512-539)."""
         cfg = self.cfg
         a_carry0, c_carry0 = ts.actor_carry, ts.critic_carry
+
+        key, k_pool = jax.random.split(key)
+        pool_keys = jax.random.split(k_pool, cfg.num_envs)
+        reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
 
         def step_fn(carry, _):
             env_state, a_carry, c_carry, key = carry
@@ -308,7 +326,7 @@ class PPO:
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
+            reset_state = reset_pool.replace(key=stepped.key, iteration=stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
             a_carry2 = self._mask_carry(a_carry2, done)
             c_carry2 = self._mask_carry(c_carry2, done)
@@ -605,12 +623,17 @@ class PPO:
 
         done_f = traj["done"].astype(jnp.float32)
         n_done = jnp.sum(done_f)
-        ep_reward_proxy = jnp.sum(traj["reward"]) / jnp.maximum(jnp.sum(done_f), 1.0)
+        ep_return = traj.get("ep_return")
+        ep_reward = (
+            jnp.sum(ep_return) / jnp.maximum(n_done, 1.0)
+            if ep_return is not None
+            else jnp.sum(traj["reward"]) / jnp.maximum(n_done, 1.0)
+        )
         metrics = dict(
             mean_reward=jnp.mean(traj["reward"]),
             mean_episode_length=jnp.sum(done_f * traj["ep_steps"]) / jnp.maximum(n_done, 1.0),
             episodes_finished=n_done,
-            episode_reward=ep_reward_proxy,
+            episode_reward=ep_reward,
             **aux,
         )
         if self.cfg.recurrent:
@@ -634,9 +657,11 @@ class PPO:
         """Deterministic evaluation from fresh resets (reference evaluate(),
         ppo.py:408-426: deterministic batches -> mean episode reward)."""
         cfg = self.cfg
-        k_env, k_roll = jax.random.split(key)
+        k_env, k_roll, k_pool = jax.random.split(key, 3)
         env_keys = jax.random.split(k_env, cfg.num_envs)
         env_state = self.env.reset_batch(env_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+        pool_keys = jax.random.split(k_pool, cfg.num_envs)
+        reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
 
         def step_fn(carry, _):
             env_state, a_carry, ep_ret, ep_len, ret_acc, len_acc, cnt = carry
@@ -657,7 +682,7 @@ class PPO:
             cnt = cnt + jnp.sum(done.astype(jnp.float32))
             ep_ret = jnp.where(done, 0.0, ep_ret)
             ep_len = jnp.where(done, 0.0, ep_len)
-            reset_state = self.env.reset_batch(stepped.key, stepped.iteration)
+            reset_state = reset_pool.replace(key=stepped.key, iteration=stepped.iteration)
             env_state = _tree_where(done, reset_state, stepped)
             if cfg.recurrent:
                 a_carry = self._mask_carry(a_carry, done)

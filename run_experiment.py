@@ -18,9 +18,23 @@ import sys
 from pathlib import Path
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache: humanoid train-step compiles cost
+    minutes; cache them across runs."""
+    import os as _os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", _os.environ.get("LHW_COMPILE_CACHE", "/tmp/lhw_jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
 def system_banner():
     import jax
 
+    enable_compile_cache()
     print("=" * 60)
     print(f"python {platform.python_version()} | jax {jax.__version__}")
     print(f"devices: {jax.devices()}")
