@@ -276,11 +276,18 @@ class HumanoidEnv(Env):
             physics, dyn, task, k_obs, key = jax.vmap(lambda k: self._reset_pre(k, None))(keys)
         else:
             physics, dyn, task, k_obs, key = jax.vmap(self._reset_pre)(keys, iteration)
-        terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
         batch = keys.shape[0]
-        physics = pd_substeps_batched(
-            self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, terrain, settle=True
-        )
+        if self._use_kernel(batch):
+            from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
+
+            physics = pd_substeps_kernel(
+                self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, settle=True
+            )
+        else:
+            terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
+            physics = pd_substeps_batched(
+                self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, terrain, settle=True
+            )
         if iteration is None:
             return jax.vmap(lambda p, d, t, ko, k: self._reset_post(p, d, t, ko, k, None))(
                 physics, dyn, task, k_obs, key
@@ -302,15 +309,31 @@ class HumanoidEnv(Env):
         physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
         return self._post_step(state, physics, action, full_target)
 
+    def _use_kernel(self, batch: int) -> bool:
+        """Use the pallas mega-kernel on TPU backends for flat-floor models
+        (terrain envs keep the XLA batched engine; CPU has no Mosaic)."""
+        from learninghumanoidwalking_tpu.ops.substep_kernel import kernel_tile
+
+        if self.model.nterrain > 0 or kernel_tile(batch) is None:
+            return False
+        return jax.default_backend() not in ("cpu",)
+
     def step_batch(self, states: EnvState, actions: jnp.ndarray) -> EnvState:
         """Batched step: batch-in-lanes physics, vmapped task/obs logic."""
         from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
 
         full_target = jax.vmap(self._pre_step)(states, actions)
-        terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
-        physics = pd_substeps_batched(
-            self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
-        )
+        if self._use_kernel(actions.shape[0]):
+            from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
+
+            physics = pd_substeps_kernel(
+                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt
+            )
+        else:
+            terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
+            physics = pd_substeps_batched(
+                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
+            )
         return jax.vmap(self._post_step)(states, physics, actions, full_target)
 
     def _post_step(self, state: EnvState, physics, action: jnp.ndarray, full_target: jnp.ndarray) -> EnvState:
@@ -319,10 +342,17 @@ class HumanoidEnv(Env):
 
         task = self._task_step(k_task, state.task, physics)
         components = self._reward(state, physics, task, full_target)
-        done = self._done(physics)
+        # terminate (and reset) any env whose physics went non-finite instead
+        # of letting NaNs poison the batch: NaN comparisons are False, so a
+        # blown env would otherwise never trigger done
+        bad = jnp.logical_not(
+            jnp.logical_and(jnp.all(jnp.isfinite(physics.qpos)), jnp.all(jnp.isfinite(physics.qvel)))
+        )
+        components = jnp.nan_to_num(components)
+        done = jnp.logical_or(self._done(physics), bad)
 
         robot_state = self._robot_state(physics, k_obs)
-        base_obs = jnp.concatenate([robot_state, self._external_obs(task)])
+        base_obs = jnp.nan_to_num(jnp.concatenate([robot_state, self._external_obs(task)]))
         obs_history, obs = self.stack_history(state.obs_history, base_obs)
 
         # stochastic DR events (base_humanoid_env.py:221-225)

@@ -1,0 +1,816 @@
+"""Pallas TPU mega-kernel: a full control step (frame_skip PD+physics
+substeps) in ONE kernel launch.
+
+Motivation (measured on the axon v5e runtime):
+  * every XLA fusion boundary in the substep costs an HBM round trip on
+    sublane-padded little arrays, capping the jnp engines at ~1 us per
+    env-substep regardless of batch size;
+  * a pallas_call has a fixed ~1.5 ms dispatch cost but per-op cost inside
+    the kernel is negligible — so the win comes from fusing ALL 25 substeps
+    of a control tick into one launch with the whole working set in VMEM.
+
+Layout: grid over env tiles of TB lanes; every per-env quantity is a
+(rows, TB) block (sublanes x lanes). "Scalars" are (1, TB) slices; vectors
+are (3/4/6, TB) blocks; matrices are Python lists of row blocks. The tree,
+masses, and geometry are static Python constants baked into the kernel, so
+the generated code is straight-line VPU arithmetic.
+
+Scope (phase 1): flat-floor contacts (jvrc_walk / h1 / h1_walk); terrain
+envs (jvrc_step, jvrc_walk_rough) keep the XLA batched engine. Domain
+randomization enters through the dyn-param inputs like everywhere else.
+
+Correctness gate: tests/test_kernel.py compares this kernel (interpret mode)
+against physics/batched.py step-for-step; the MuJoCo golden suite gates the
+shared semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from learninghumanoidwalking_tpu.physics import engine as eng
+from learninghumanoidwalking_tpu.physics.engine import _tables
+from learninghumanoidwalking_tpu.physics.model import FREE, HINGE, SLIDE, Model
+from learninghumanoidwalking_tpu.physics.spec import _quat_to_mat_np
+
+PROJ_REFINE_ITERS = 3
+
+
+# ---------------------------------------------------------------------------
+# (rows, TB) block helpers — everything stays >= 2D for Mosaic
+# ---------------------------------------------------------------------------
+
+
+def _cross(a, b):
+    """(3,TB) x (3,TB)."""
+    return jnp.concatenate(
+        [
+            a[1:2] * b[2:3] - a[2:3] * b[1:2],
+            a[2:3] * b[0:1] - a[0:1] * b[2:3],
+            a[0:1] * b[1:2] - a[1:2] * b[0:1],
+        ]
+    )
+
+
+def _qmul(q1, q2):
+    w1, x1, y1, z1 = q1[0:1], q1[1:2], q1[2:3], q1[3:4]
+    w2, x2, y2, z2 = q2[0:1], q2[1:2], q2[2:3], q2[3:4]
+    return jnp.concatenate(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+    )
+
+
+def _qrot(q, v):
+    qv = q[1:4]
+    t = 2.0 * _cross(qv, v)
+    return v + q[0:1] * t + _cross(qv, t)
+
+
+def _qnormalize(q):
+    n = jnp.sqrt(jnp.sum(q * q, axis=0, keepdims=True) + 1e-12)
+    return q / n
+
+
+def _qmat(q):
+    """quat (4,TB) -> R as list of 3 row blocks, each (3,TB)."""
+    w, x, y, z = q[0:1], q[1:2], q[2:3], q[3:4]
+    r0 = jnp.concatenate([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)])
+    r1 = jnp.concatenate([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)])
+    r2 = jnp.concatenate([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)])
+    return [r0, r1, r2]
+
+
+def _matvec3(rows, v):
+    """rows: list of 3 (3,TB) row blocks; v (3,TB) -> (3,TB)."""
+    return jnp.concatenate([jnp.sum(rows[i] * v, axis=0, keepdims=True) for i in range(3)])
+
+
+def _matvec3_t(rows, v):
+    """R^T v."""
+    return (
+        rows[0] * v[0:1] + rows[1] * v[1:2] + rows[2] * v[2:3]
+    )
+
+
+def _matvec_np3(const_rows: np.ndarray, v):
+    """constant 3x3 (numpy) times (3,TB)."""
+    out = []
+    for i in range(3):
+        out.append(const_rows[i, 0] * v[0:1] + const_rows[i, 1] * v[1:2] + const_rows[i, 2] * v[2:3])
+    return jnp.concatenate(out)
+
+
+def _dot(a, b):
+    """(k,TB)·(k,TB) -> (1,TB)."""
+    return jnp.sum(a * b, axis=0, keepdims=True)
+
+
+def _const(val, tb):
+    return jnp.full((1, tb), float(val), dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# kernel body builder
+# ---------------------------------------------------------------------------
+
+
+def _build_substep(model: Model, dt: float, tb: int):
+    """Returns fn(qpos (nq,TB), qvel (nv,TB), ctx) -> (qpos, qvel, extras).
+
+    ctx carries the dyn-param blocks. All model structure is static."""
+    t = _tables(model)
+    nb, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
+    parent = model.body_parent
+    body_pos = np.asarray(model.body_pos)
+    body_quat = np.asarray(model.body_quat)
+    jnt_axis = np.asarray(model.jnt_axis)
+    jnt_pos = np.asarray(model.jnt_pos)
+    body_inertia = np.asarray(model.body_inertia)
+    body_mass_np = np.asarray(model.body_mass)
+    iquat_mats = np.stack([_quat_to_mat_np(q) for q in np.asarray(model.body_iquat)])
+    armature = np.asarray(model.dof_armature)
+    gear = np.asarray(model.actuator_gear)
+    ctrl_lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    ctrl_hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    gravity = np.asarray(model.gravity)
+    anc = t["anc"]  # (nb, nv) numpy float
+    free_body = t["free_body"]
+    imp_min = float(np.asarray(model.imp_min))
+    imp_max = float(np.asarray(model.imp_max))
+    width = float(np.asarray(model.imp_width))
+    k_ref = 1.0 / max(imp_max**2 * float(np.asarray(model.timeconst)) ** 2 * float(np.asarray(model.dampratio)) ** 2, 1e-12)
+    b_ref = 2.0 / max(imp_max * float(np.asarray(model.timeconst)), 1e-12)
+
+    # dof bookkeeping: list of (body, kind, axis_local, anchor_local)
+    dof_info = []
+    if free_body >= 0:
+        for k in range(3):
+            dof_info.append(("free_lin", free_body, k))
+        for k in range(3):
+            dof_info.append(("free_ang", free_body, k))
+    for n, bi in enumerate(t["j_body"]):
+        dof_info.append(("hinge" if t["j_is_hinge"][n] > 0.5 else "slide", int(bi), n))
+
+    # children lists for CRBA reverse pass
+    children = {i: [] for i in range(nb)}
+    for i in range(1, nb):
+        children[parent[i]].append(i)
+
+    # contact slots: (geom, body, corner_local (3,)) static
+    slots = []
+    for gi in model.foot_geoms:
+        bi = model.geom_body[gi]
+        gpos = np.asarray(model.geom_pos)[gi]
+        grot = _quat_to_mat_np(np.asarray(model.geom_quat)[gi])
+        size = np.asarray(model.geom_size)[gi]
+        mu = float(np.asarray(model.geom_friction)[gi])
+        for corner in eng._BOTTOM_CORNERS:
+            local = gpos + grot @ (corner * size)
+            slots.append((bi, local.astype(np.float32), mu))
+    nc = len(slots)
+
+    def substep(qpos, qvel, ctrl, ctx):
+        # ---------------- FK ----------------
+        xpos = [jnp.zeros((3, tb))]
+        xquat = [jnp.concatenate([jnp.ones((1, tb)), jnp.zeros((3, tb))])]
+        for i in range(1, nb):
+            p = parent[i]
+            bp = body_pos[i]
+            x_pre = xpos[p] + _qrot(xquat[p], jnp.concatenate([_const(bp[0], tb), _const(bp[1], tb), _const(bp[2], tb)]))
+            if np.allclose(body_quat[i], [1, 0, 0, 0]):
+                q_pre = xquat[p]
+            else:
+                bq = body_quat[i]
+                q_pre = _qmul(xquat[p], jnp.concatenate([_const(bq[0], tb), _const(bq[1], tb), _const(bq[2], tb), _const(bq[3], tb)]))
+            jt = model.jnt_type[i]
+            adr = model.body_qpos_adr[i]
+            if jt == FREE:
+                x = qpos[adr : adr + 3]
+                q = _qnormalize(qpos[adr + 3 : adr + 7])
+            elif jt == HINGE:
+                half = 0.5 * qpos[adr : adr + 1]
+                ax = jnt_axis[i]
+                s = jnp.sin(half)
+                qj = jnp.concatenate([jnp.cos(half), ax[0] * s, ax[1] * s, ax[2] * s])
+                q = _qmul(q_pre, qj)
+                if np.any(np.abs(jnt_pos[i]) > 1e-12):
+                    a = jnt_pos[i]
+                    al = jnp.concatenate([_const(a[0], tb), _const(a[1], tb), _const(a[2], tb)])
+                    x = x_pre + _qrot(q_pre, al) - _qrot(q, al)
+                else:
+                    x = x_pre
+            elif jt == SLIDE:
+                q = q_pre
+                ax = jnt_axis[i]
+                x = x_pre + qpos[adr : adr + 1] * jnp.concatenate([_const(ax[0], tb), _const(ax[1], tb), _const(ax[2], tb)])
+            else:
+                q, x = q_pre, x_pre
+            xpos.append(x)
+            xquat.append(q)
+        rmats = [None] + [_qmat(xquat[i]) for i in range(1, nb)]
+
+        # ---------------- motion subspace S (per dof: (6,TB)) ----------------
+        S = []
+        for kind, bi, k in dof_info:
+            if kind == "free_lin":
+                rows = [jnp.zeros((1, tb))] * 6
+                rows[3 + k] = jnp.ones((1, tb))
+                S.append(jnp.concatenate(rows))
+            elif kind == "free_ang":
+                rot = rmats[bi]
+                u = jnp.concatenate([rot[0][k : k + 1], rot[1][k : k + 1], rot[2][k : k + 1]])
+                S.append(jnp.concatenate([u, _cross(xpos[bi], u)]))
+            else:
+                rot = rmats[bi]
+                ax = jnt_axis[bi]
+                u = jnp.concatenate(
+                    [
+                        ax[0] * rot[0][0:1] + ax[1] * rot[0][1:2] + ax[2] * rot[0][2:3],
+                        ax[0] * rot[1][0:1] + ax[1] * rot[1][1:2] + ax[2] * rot[1][2:3],
+                        ax[0] * rot[2][0:1] + ax[1] * rot[2][1:2] + ax[2] * rot[2][2:3],
+                    ]
+                )
+                if kind == "hinge":
+                    jp = jnt_pos[bi]
+                    if np.any(np.abs(jp) > 1e-12):
+                        anchor = xpos[bi] + jnp.concatenate(
+                            [
+                                jp[0] * rot[0][0:1] + jp[1] * rot[0][1:2] + jp[2] * rot[0][2:3],
+                                jp[0] * rot[1][0:1] + jp[1] * rot[1][1:2] + jp[2] * rot[1][2:3],
+                                jp[0] * rot[2][0:1] + jp[1] * rot[2][1:2] + jp[2] * rot[2][2:3],
+                            ]
+                        )
+                    else:
+                        anchor = xpos[bi]
+                    S.append(jnp.concatenate([u, _cross(anchor, u)]))
+                else:
+                    S.append(jnp.concatenate([jnp.zeros((3, tb)), u]))
+
+        # ---------------- body velocities ----------------
+        cvel = [jnp.zeros((6, tb))]
+        for i in range(1, nb):
+            v = cvel[parent[i]]
+            adr, num = model.body_dof_adr[i], model.body_dof_num[i]
+            for d in range(adr, adr + num):
+                v = v + S[d] * qvel[d : d + 1]
+            cvel.append(v)
+
+        # ---------------- spatial inertias (world, about origin) ----------------
+        # I_b = [[Ibar, m cx],[m cx^T, m E]];  rows stored as list of 6 (6,TB)
+        inertias = [None]  # world
+        coms = [None]
+        for i in range(1, nb):
+            rot = rmats[i]
+            # R_iq = R_i @ iquat_mat (constant): rows of combined rotation
+            iq = iquat_mats[i]
+            riq = [
+                jnp.concatenate(
+                    [
+                        rot[r][0:1] * iq[0, c] + rot[r][1:2] * iq[1, c] + rot[r][2:3] * iq[2, c]
+                        for c in range(3)
+                    ]
+                )
+                for r in range(3)
+            ]
+            mass_scale = ctx["body_mass"][i : i + 1] / max(body_mass_np[i], 1e-9)
+            diag = body_inertia[i]
+            # I_com = riq diag riq^T  (3x3, symmetric)
+            icom = [[None] * 3 for _ in range(3)]
+            for r in range(3):
+                for c in range(r, 3):
+                    val = (
+                        riq[r][0:1] * diag[0] * riq[c][0:1]
+                        + riq[r][1:2] * diag[1] * riq[c][1:2]
+                        + riq[r][2:3] * diag[2] * riq[c][2:3]
+                    ) * mass_scale
+                    icom[r][c] = val
+                    icom[c][r] = val
+            m_b = ctx["body_mass"][i : i + 1]
+            com = xpos[i] + _matvec3(rot, ctx["body_ipos"][3 * i : 3 * i + 3])
+            coms.append(com)
+            cx, cy, cz = com[0:1], com[1:2], com[2:3]
+            # Ibar = I_com - m cx cx  (cx = skew(c)); skew^2 = ccT - |c|^2 I
+            c2 = cx * cx + cy * cy + cz * cz
+            ib = [[None] * 3 for _ in range(3)]
+            cvec = [cx, cy, cz]
+            for r in range(3):
+                for c in range(3):
+                    ib[r][c] = icom[r][c] - m_b * (cvec[r] * cvec[c] - (c2 if r == c else 0.0))
+            # assemble 6 rows: [Ibar | m*skew(c)] ; [m*skew(c)^T | m I]
+            skew = [
+                [0.0, -cz, cy],
+                [cz, 0.0, -cx],
+                [-cy, cx, 0.0],
+            ]
+            rows = []
+            for r in range(3):
+                row = [ib[r][0], ib[r][1], ib[r][2]]
+                for c in range(3):
+                    s = skew[r][c]
+                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, tb)))
+                rows.append(jnp.concatenate(row))
+            for r in range(3):
+                row = []
+                for c in range(3):
+                    s = skew[c][r]  # transpose
+                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, tb)))
+                for c in range(3):
+                    row.append(m_b if r == c else jnp.zeros((1, tb)))
+                rows.append(jnp.concatenate(row))
+            inertias.append(rows)  # list of 6 (6,TB) rows
+
+        # ---------------- CRBA: composite inertias + mass matrix ----------------
+        comp = [None] * nb
+        for i in range(nb - 1, 0, -1):
+            rows = inertias[i]
+            for ch in children[i]:
+                if ch == 0:
+                    continue
+                rows = [rows[r] + comp[ch][r] for r in range(6)]
+            comp[i] = rows
+        # F_d = Ic_{body(d)} S_d ; M[d,e] = S_e . F_d for e ancestor-of-or-eq d
+        m_rows = [[None] * nv for _ in range(nv)]
+        for d in range(nv):
+            bd = model.dof_body[d]
+            rows = comp[bd]
+            f_d = jnp.concatenate([_dot(rows[r], S[d]) for r in range(6)])  # (6,TB)
+            for e in range(nv):
+                if anc[bd, e] > 0.5:  # e on the path to root
+                    val = _dot(S[e], f_d)
+                    m_rows[d][e] = val
+                    m_rows[e][d] = val
+        # (armature & implicit damping are added when assembling Mh below)
+
+        # ---------------- bias forces ----------------
+        # a_i = a_parent + v_i x (S_d qd);  a_0 = -g
+        g_block = jnp.concatenate(
+            [jnp.zeros((3, tb)), _const(-gravity[0], tb), _const(-gravity[1], tb), _const(-gravity[2], tb)]
+        )
+        acc = [g_block]
+        for i in range(1, nb):
+            p = parent[i]
+            adr, num = model.body_dof_adr[i], model.body_dof_num[i]
+            vj = jnp.zeros((6, tb))
+            for d in range(adr, adr + num):
+                vj = vj + S[d] * qvel[d : d + 1]
+            v = cvel[i]
+            w, v0 = v[:3], v[3:]
+            mw, mv = vj[:3], vj[3:]
+            mc = jnp.concatenate([_cross(w, mw), _cross(w, mv) + _cross(v0, mw)])
+            acc.append(acc[p] + mc)
+        # f_i = I_i acc_i + v x* (I_i v); accumulate up the tree
+        f_acc = [None] * nb
+        for i in range(nb - 1, 0, -1):
+            rows = inertias[i]
+            ia = jnp.concatenate([_dot(rows[r], acc[i]) for r in range(6)])
+            iv = jnp.concatenate([_dot(rows[r], cvel[i]) for r in range(6)])
+            v = cvel[i]
+            w, v0 = v[:3], v[3:]
+            n_, fl = iv[:3], iv[3:]
+            fc = jnp.concatenate([_cross(w, n_) + _cross(v0, fl), _cross(w, fl)])
+            f = ia + fc
+            for ch in children[i]:
+                if ch != 0:
+                    f = f + f_acc[ch]
+            f_acc[i] = f
+        qfrc_bias = [
+            _dot(S[d], f_acc[model.dof_body[d]]) for d in range(nv)
+        ]  # (1,TB) each
+
+        # ---------------- smooth forces ----------------
+        qfrc = []
+        act_rows = []
+        for a in range(nu):
+            ca = ctrl[a : a + 1]
+            if np.isfinite(ctrl_lo[a]):
+                ca = jnp.maximum(ca, float(ctrl_lo[a]))
+            if np.isfinite(ctrl_hi[a]):
+                ca = jnp.minimum(ca, float(ctrl_hi[a]))
+            act_rows.append(float(gear[a]) * ca)
+        act_force = jnp.concatenate(act_rows)  # (nu,TB)
+        act_of_dof = {int(model.actuator_dof[a]): a for a in range(nu)}
+        # xfrc contribution per dof: sum over bodies in subtree... use J^T:
+        # qfrc_xfrc[d] = S_d . (sum of spatial wrenches of bodies in subtree(d))
+        wrench_acc = [None] * nb
+        for i in range(nb - 1, 0, -1):
+            xf = ctx["xfrc"][6 * i : 6 * i + 6]  # (force(3), torque(3))
+            frc, trq = xf[:3], xf[3:]
+            w6 = jnp.concatenate([_cross(xpos[i], frc) + trq, frc])
+            for ch in children[i]:
+                if ch != 0:
+                    w6 = w6 + wrench_acc[ch]
+            wrench_acc[i] = w6
+        for d in range(nv):
+            f = -qfrc_bias[d]
+            f = f + _dot(S[d], wrench_acc[model.dof_body[d]])
+            f = f - ctx["frictionloss"][d : d + 1] * jnp.tanh(qvel[d : d + 1] / 0.02)
+            f = f - ctx["damping"][d : d + 1] * qvel[d : d + 1]
+            if d in act_of_dof:
+                f = f + act_force[act_of_dof[d] : act_of_dof[d] + 1]
+            qfrc.append(f)
+        qfrc = jnp.concatenate(qfrc)  # (nv,TB)
+
+        # ---------------- Mh cholesky + solve ----------------
+        # Mh rows as (nv,TB) blocks
+        mh_rows = []
+        for d in range(nv):
+            row = []
+            for e in range(nv):
+                v = m_rows[d][e]
+                if v is None:
+                    v = jnp.zeros((1, tb))
+                if d == e:
+                    v = v + armature[d] + dt * ctx["damping"][d : d + 1]
+                row.append(v)
+            mh_rows.append(jnp.concatenate(row))  # (nv, TB)
+
+        l_rows, qacc_smooth = _chol_solve_rows(mh_rows, qfrc, nv, tb)
+
+        # ---------------- contacts ----------------
+        cpos, cdist = [], []
+        for bi, local, mu in slots:
+            p = xpos[bi] + _matvec_np_local(rmats[bi], local)
+            cpos.append(p)
+            cdist.append(p[2:3])  # flat floor at z=0
+        cmask = [jnp.where(d < eng.CONTACT_MARGIN, 1.0, 0.0) for d in cdist]
+
+        # contact jacobian rows (per slot: 3 rows (nv,TB) -> store as lists of
+        # per-dof (1,TB)): Jc[c][f] = (nv,TB)
+        # point jacobian for dof d: jp = S_lin + S_ang x p; rows n=z, t1=x, t2=y
+        jc = []  # per slot: (3, nv, TB) as list of 3 (nv,TB)
+        for (bi, local, mu), p in zip(slots, cpos):
+            rows_z, rows_x, rows_y = [], [], []
+            for d in range(nv):
+                if anc[bi, d] > 0.5:
+                    sa, sl = S[d][:3], S[d][3:]
+                    jp = sl - _cross(p, sa)
+                    rows_x.append(jp[0:1])
+                    rows_y.append(jp[1:2])
+                    rows_z.append(jp[2:3])
+                else:
+                    z = jnp.zeros((1, tb))
+                    rows_x.append(z)
+                    rows_y.append(z)
+                    rows_z.append(z)
+            jc.append(
+                (jnp.concatenate(rows_z), jnp.concatenate(rows_x), jnp.concatenate(rows_y))
+            )
+
+        # A = Jc M^-1 Jc^T: solve M X = Jc^T (3nc rhs) using the factor
+        minv_rows = []  # per (slot, frame) -> (nv,TB)
+        for c in range(nc):
+            for f in range(3):
+                minv_rows.append(_cho_solve_rows(l_rows, jc[c][f], nv, tb))
+        a_rows = [[None] * (3 * nc) for _ in range(3 * nc)]
+        for i in range(3 * nc):
+            ci, fi = divmod(i, 3)
+            for j in range(i, 3 * nc):
+                cj, fj = divmod(j, 3)
+                val = _dot(jc[ci][fi], minv_rows[j])
+                a_rows[i][j] = val
+                a_rows[j][i] = val
+
+        # aref + regularization
+        b_list = []
+        for c in range(nc):
+            pen = jnp.minimum(cdist[c], 0.0)
+            imp = imp_min + (imp_max - imp_min) * jnp.clip(-pen / width, 0.0, 1.0)
+            for f in range(3):
+                vel = _dot(jc[c][f], qvel)
+                aref = -b_ref * vel
+                if f == 0:
+                    aref = aref - k_ref * imp * pen
+                a0 = _dot(jc[c][f], qacc_smooth)
+                r_diag = (1.0 - imp) / jnp.maximum(imp, 1e-6) * jnp.maximum(a_rows[3 * c + f][3 * c + f], 1e-8)
+                i_full = 3 * c + f
+                a_rows[i_full][i_full] = a_rows[i_full][i_full] + r_diag
+                b_list.append((aref - a0) * cmask[c])
+        # mask rows/cols
+        mask3 = []
+        for c in range(nc):
+            for f in range(3):
+                mask3.append(cmask[c])
+        n3 = 3 * nc
+        for i in range(n3):
+            for j in range(n3):
+                a_rows[i][j] = a_rows[i][j] * mask3[i] * mask3[j]
+            a_rows[i][i] = a_rows[i][i] + (1.0 - mask3[i])
+
+        a_blocks = [jnp.concatenate(a_rows[i]) for i in range(n3)]  # (n3,TB)
+        b_vec = jnp.concatenate(b_list)  # (n3,TB)
+        la_rows, f0 = _chol_solve_rows(a_blocks, b_vec, n3, tb)
+
+        mus = np.asarray([s[2] for s in slots], dtype=np.float32)
+
+        def project(fv):
+            outs = []
+            for c in range(nc):
+                fn = jnp.maximum(fv[3 * c : 3 * c + 1], 0.0)
+                ft1 = fv[3 * c + 1 : 3 * c + 2]
+                ft2 = fv[3 * c + 2 : 3 * c + 3]
+                ftn = jnp.sqrt(ft1 * ft1 + ft2 * ft2) + 1e-9
+                scale = jnp.minimum(1.0, mus[c] * fn / ftn)
+                outs.extend([fn * cmask[c], ft1 * scale * cmask[c], ft2 * scale * cmask[c]])
+            return jnp.concatenate(outs)
+
+        fvec = project(f0)
+        for _ in range(PROJ_REFINE_ITERS - 1):
+            # r = b - A f
+            r = b_vec - jnp.concatenate([_dot(a_blocks[i], fvec) for i in range(n3)])
+            fvec = project(fvec + _cho_solve_rows(la_rows, r, n3, tb))
+
+        # qfrc_con = Jc^T f ; qacc = qacc_smooth + M^-1 qfrc_con
+        qfrc_con = jnp.zeros((nv, tb))
+        for c in range(nc):
+            for f in range(3):
+                qfrc_con = qfrc_con + jc[c][f] * fvec[3 * c + f : 3 * c + f + 1]
+        qacc = qacc_smooth + _cho_solve_rows(l_rows, qfrc_con, nv, tb)
+
+        # ---------------- integrate ----------------
+        # runaway guard (see engine.step): clamp far above physical speeds
+        qvel_new = jnp.clip(qvel + dt * qacc, -1e4, 1e4)
+        parts = []
+        pos_done = 0
+        if free_body >= 0:
+            qadr, dadr = model.body_qpos_adr[free_body], model.body_dof_adr[free_body]
+            pos = qpos[qadr : qadr + 3] + dt * qvel_new[dadr : dadr + 3]
+            omega = qvel_new[dadr + 3 : dadr + 6]
+            angle = jnp.sqrt(jnp.sum(omega * omega, axis=0, keepdims=True)) * dt
+            half = 0.5 * angle
+            s = 0.5 * dt * jnp.sinc(half / jnp.pi)
+            dq = jnp.concatenate([jnp.cos(half), s * omega])
+            quat = _qnormalize(_qmul(qpos[qadr + 3 : qadr + 7], dq))
+            parts.append(pos)
+            parts.append(quat)
+            pos_done = qadr + 7
+        # 1-dof joints (contiguous after free block)
+        if t["j_qpos"].size:
+            jq0 = int(t["j_qpos"][0])
+            jd0 = int(t["j_dof"][0])
+            njq = len(t["j_qpos"])
+            parts.append(qpos[jq0 : jq0 + njq] + dt * qvel_new[jd0 : jd0 + njq])
+        qpos_new = jnp.concatenate(parts)
+
+        extras = dict(
+            qacc=qacc,
+            act_torque=act_force,
+            cdist=jnp.concatenate(cdist),
+            cmask=jnp.concatenate(cmask),
+            cforce=fvec,
+            cpos_z=jnp.concatenate([p[2:3] for p in cpos]),
+            cpos=jnp.concatenate(cpos),
+        )
+        return qpos_new, qvel_new, extras
+
+    return substep, nc
+
+
+def _matvec_np_local(rot_rows, local: np.ndarray):
+    """R @ constant local vector."""
+    return jnp.concatenate(
+        [
+            rot_rows[0][0:1] * local[0] + rot_rows[0][1:2] * local[1] + rot_rows[0][2:3] * local[2],
+            rot_rows[1][0:1] * local[0] + rot_rows[1][1:2] * local[1] + rot_rows[1][2:3] * local[2],
+            rot_rows[2][0:1] * local[0] + rot_rows[2][1:2] * local[1] + rot_rows[2][2:3] * local[2],
+        ]
+    )
+
+
+def _chol_solve_rows(m_rows, b, n, tb):
+    """Cholesky + solve on the row-block representation.
+
+    m_rows: list of n (n,TB) rows. b: (n,TB).
+    Returns (l_cols — list of n (n,TB) column blocks of L — and x (n,TB)).
+
+    Outer-product form: per column j, col = R[:, j] (masked to rows >= j) / d,
+    then rank-1 downdate of the remaining rows. In this storage a "column"
+    and a "row" of the same vector are the identical (n,TB) array, so the
+    rank-1 update of row i is `r[i] -= col[i] * col`.
+    """
+    r = list(m_rows)
+    l_cols = []
+    for j in range(n):
+        d = jnp.sqrt(jnp.maximum(r[j][j : j + 1], 1e-12))
+        parts = ([jnp.zeros((j, tb))] if j else []) + [r[i][j : j + 1] for i in range(j, n)]
+        col = jnp.concatenate(parts) / d
+        for i in range(j + 1, n):
+            r[i] = r[i] - col[i : i + 1] * col
+        l_cols.append(col)
+    return l_cols, _cho_solve_rows(l_cols, b, n, tb)
+
+
+def _cho_solve_rows(l_cols, b, n, tb):
+    """Solve L L^T x = b given column list l_cols (each (n,TB))."""
+    # forward: L y = b
+    r = b
+    ys = []
+    for j in range(n):
+        yj = r[j : j + 1] / l_cols[j][j : j + 1]
+        ys.append(yj)
+        r = r - l_cols[j] * yj
+    y = jnp.concatenate(ys)
+    # backward: L^T x = y ; (L^T)[i,:] has entries l_cols[:][i]... row i of L^T = column i of L
+    xs = [None] * n
+    r = y
+    for j in range(n - 1, -1, -1):
+        # row j of L^T is l_cols[j] transposed? (L^T)[j, i] = L[i, j] = l_cols[j][i]
+        xj = r[j : j + 1] / l_cols[j][j : j + 1]
+        xs[j] = xj
+        # subtract column j of L^T = row j of L = [l_cols[k][j] for k]
+        lrow = jnp.concatenate([l_cols[k][j : j + 1] for k in range(n)])
+        r = r - lrow * xj
+    return jnp.concatenate(xs)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrapper + env boundary
+# ---------------------------------------------------------------------------
+
+
+def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, interpret: bool = False):
+    """Build fn(qpos (nq,B), qvel (nv,B), target (nu,B), ctx blocks...) ->
+    (qpos, qvel, qacc, act_torque, cforce (3nc,B), cdist (nc,B), cmask (nc,B),
+    cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel."""
+    substep, nc = _build_substep(model, dt, tb)
+    nq, nv, nu, nb = model.nq, model.nv, model.nu, model.nbody
+    t = _tables(model)
+    aq0 = int(np.asarray(model.actuator_qpos)[0]) if nu else 0
+    ad0 = int(np.asarray(model.actuator_dof)[0]) if nu else 0
+    gear = np.asarray(model.actuator_gear)
+
+    def kernel(
+        qpos_ref, qvel_ref, target_ref, kp_ref, kd_ref, bemf_ref,
+        damping_ref, frictionloss_ref, body_mass_ref, body_ipos_ref, xfrc_ref,
+        qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out,
+    ):
+        ctx = dict(
+            damping=damping_ref[:],
+            frictionloss=frictionloss_ref[:],
+            body_mass=body_mass_ref[:],
+            body_ipos=body_ipos_ref[:],
+            xfrc=xfrc_ref[:],
+        )
+        target = target_ref[:]
+        kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
+
+        def one(carry, _):
+            qpos, qvel = carry
+            q = qpos[aq0 : aq0 + nu]
+            v = qvel[ad0 : ad0 + nu]
+            tau = kp * (target - q) - kd * v - bemf * v
+            ctrl = jnp.concatenate([tau[a : a + 1] / float(gear[a]) for a in range(nu)])
+            qpos, qvel, extras = substep(qpos, qvel, ctrl, ctx)
+            return (qpos, qvel), extras
+
+        # fori_loop keeps kernel code size at ONE substep; extras from the
+        # last iteration are what observations/rewards consume
+        def body(i, carry):
+            (qpos, qvel), _ = carry
+            return one((qpos, qvel), None)
+
+        init_extras = dict(
+            qacc=jnp.zeros((nv, tb)),
+            act_torque=jnp.zeros((nu, tb)),
+            cdist=jnp.full((nc, tb), 1e3),
+            cmask=jnp.zeros((nc, tb)),
+            cforce=jnp.zeros((3 * nc, tb)),
+            cpos_z=jnp.zeros((nc, tb)),
+            cpos=jnp.zeros((3 * nc, tb)),
+        )
+        (qpos, qvel), extras = jax.lax.fori_loop(
+            0, frame_skip, body, ((qpos_ref[:], qvel_ref[:]), init_extras)
+        )
+        qpos_out[:] = qpos
+        qvel_out[:] = qvel
+        qacc_out[:] = extras["qacc"]
+        act_out[:] = extras["act_torque"]
+        cforce_out[:] = extras["cforce"]
+        cdist_out[:] = extras["cdist"]
+        cmask_out[:] = extras["cmask"]
+        cpos_out[:] = extras["cpos"]
+
+    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc):
+        batch = qpos.shape[1]
+        grid = (batch // tb,)
+
+        def spec(rows):
+            return pl.BlockSpec((rows, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+        out_shapes = [
+            jax.ShapeDtypeStruct((nq, batch), jnp.float32),
+            jax.ShapeDtypeStruct((nv, batch), jnp.float32),
+            jax.ShapeDtypeStruct((nv, batch), jnp.float32),
+            jax.ShapeDtypeStruct((nu, batch), jnp.float32),
+            jax.ShapeDtypeStruct((3 * nc, batch), jnp.float32),
+            jax.ShapeDtypeStruct((nc, batch), jnp.float32),
+            jax.ShapeDtypeStruct((nc, batch), jnp.float32),
+            jax.ShapeDtypeStruct((3 * nc, batch), jnp.float32),
+        ]
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                spec(nq), spec(nv), spec(nu), spec(nu), spec(nu), spec(nu),
+                spec(nv), spec(nv), spec(nb), spec(3 * nb), spec(6 * nb),
+            ],
+            out_specs=[spec(nq), spec(nv), spec(nv), spec(nu), spec(3 * nc), spec(nc), spec(nc), spec(3 * nc)],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc)
+
+    return run, nc
+
+
+# ---------------------------------------------------------------------------
+# PhysicsState boundary (drop-in for physics.batched.pd_substeps_batched)
+# ---------------------------------------------------------------------------
+
+_KERNEL_CACHE: dict = {}
+
+
+def kernel_tile(batch: int, prefer: int = 256) -> int | None:
+    """Largest viable lane tile for this batch (None if incompatible)."""
+    for tb in (prefer, 128):
+        if batch % tb == 0:
+            return tb
+    return None
+
+
+def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, settle=False):
+    """Same contract as physics.batched.pd_substeps_batched, flat floor only,
+    physics fused into one pallas launch per control step.
+
+    settle=True runs zero-torque substeps (reset settling) by zeroing the PD
+    gains — same kernel, no extra compilation.
+    """
+    from learninghumanoidwalking_tpu.physics import batched
+    from learninghumanoidwalking_tpu.physics.model import Contact, PhysicsState
+
+    batch = physics.qpos.shape[0]
+    tb = kernel_tile(batch)
+    key = (id(model), frame_skip, float(sim_dt), tb)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb)
+    run, nc = _KERNEL_CACHE[key]
+
+    params_t = batched._params_to_trailing(params)
+    zeros_u = jnp.zeros((model.nu, batch))
+    kp = zeros_u if settle else params_t.kp
+    kd = zeros_u if settle else params_t.kd
+    bemf = zeros_u if settle else params_t.bemf_gain
+
+    out = run(
+        jnp.swapaxes(physics.qpos, 0, 1),
+        jnp.swapaxes(physics.qvel, 0, 1),
+        jnp.swapaxes(target, 0, 1),
+        kp,
+        kd,
+        bemf,
+        params_t.dof_damping,
+        params_t.dof_frictionloss,
+        params_t.body_mass,
+        params_t.body_ipos.reshape(-1, batch),
+        jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
+    )
+    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos = out
+
+    # FK caches for observations/rewards
+    xpos, xquat = batched.fk_b(model, qpos)
+    rmats = batched._quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)
+    s_mat = batched.motion_subspace_b(model, xpos, rmats)
+    anc = jnp.asarray(_tables(model)["anc"])
+    cvel = jnp.einsum("nv,vsb->nsb", anc, s_mat * qvel[:, None])
+
+    frame = jnp.broadcast_to(jnp.eye(3)[jnp.array([2, 0, 1])][None, None], (batch, nc, 3, 3))
+    contact = Contact(
+        pos=jnp.transpose(cpos.reshape(nc, 3, batch), (2, 0, 1)),
+        frame=frame,
+        dist=jnp.swapaxes(cdist, 0, 1),
+        geom=jnp.broadcast_to(
+            jnp.asarray(np.repeat(list(model.foot_geoms), 4), dtype=jnp.int32)[None], (batch, nc)
+        ),
+        force=jnp.transpose(cforce.reshape(nc, 3, batch), (2, 0, 1)),
+        mask=jnp.swapaxes(cmask, 0, 1),
+    )
+    return PhysicsState(
+        qpos=jnp.swapaxes(qpos, 0, 1),
+        qvel=jnp.swapaxes(qvel, 0, 1),
+        qacc=jnp.swapaxes(qacc, 0, 1),
+        act_torque=jnp.swapaxes(act_torque, 0, 1),
+        xpos=jnp.transpose(xpos, (2, 0, 1)),
+        xquat=jnp.transpose(xquat, (2, 0, 1)),
+        cvel=jnp.transpose(cvel, (2, 0, 1)),
+        contact=contact,
+        time=physics.time + frame_skip * sim_dt,
+    )

@@ -488,6 +488,9 @@ def step_b(model: Model, params_t: DynParams, qpos, qvel, ctrl, dt, terrain_t=No
     cpos, dist, mask = detect_contacts_b(model, xpos, xquat, rmats, terrain_t)
     qacc, force = constraint_solve_b(model, qvel, jac, chol, qacc_smooth, cpos, dist, mask)
     qvel = qvel + dt * qacc
+    # runaway guard: contact penetration -> force -> velocity feedback can
+    # overflow f32 within one control step; clamp far above physical speeds
+    qvel = jnp.clip(qvel, -1e4, 1e4)
     qpos = integrate_b(model, qpos, qvel, dt)
     return qpos, qvel, qacc, act_force, cpos, dist, mask, force
 

@@ -572,6 +572,9 @@ def step(
     qacc, contact = _constraint_solve(model, state.qvel, jac, chol, qacc_smooth, contact)
 
     qvel = state.qvel + dt * qacc
+    # runaway guard: contact penetration -> force -> velocity feedback can
+    # overflow f32 within one control step; clamp far above physical speeds
+    qvel = jnp.clip(qvel, -1e4, 1e4)
     qpos = _integrate(model, state.qpos, qvel, dt)
 
     # refresh kinematic caches at the new state so the next substep (and

@@ -149,13 +149,21 @@ class PPO:
             )
             self.critic_def = networks.Critic()
 
-        self.actor_tx = optax.chain(
-            optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr, eps=config.eps),
+        # apply_if_finite: a single blown minibatch must not poison the
+        # parameters (the env layer also terminates non-finite envs)
+        self.actor_tx = optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(config.max_grad_norm),
+                optax.adam(config.lr, eps=config.eps),
+            ),
+            max_consecutive_errors=100,
         )
-        self.critic_tx = optax.chain(
-            optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.lr, eps=config.eps),
+        self.critic_tx = optax.apply_if_finite(
+            optax.chain(
+                optax.clip_by_global_norm(config.max_grad_norm),
+                optax.adam(config.lr, eps=config.eps),
+            ),
+            max_consecutive_errors=100,
         )
 
         # mirror-symmetry matrices (SymmetricEnv equivalent)

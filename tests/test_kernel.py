@@ -1,0 +1,52 @@
+"""Pallas mega-kernel vs batched-engine equivalence (interpret mode on CPU).
+
+The kernel (ops/substep_kernel.py) must reproduce physics/batched.py — which
+is itself gated against engine.py and real MuJoCo — to float32 tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from learninghumanoidwalking_tpu.models.jvrc import HALF_SITTING_POSE_DEG, NOMINAL_HEIGHT, jvrc_spec
+from learninghumanoidwalking_tpu.ops.substep_kernel import make_control_step
+from learninghumanoidwalking_tpu.physics import batched, engine
+from learninghumanoidwalking_tpu.physics.model import default_dyn_params
+from learninghumanoidwalking_tpu.physics.spec import lower
+
+
+@pytest.mark.slow
+def test_kernel_matches_batched_engine():
+    TB, B, FRAME_SKIP = 8, 8, 5
+    model = lower(jvrc_spec())
+    run, nc = make_control_step(model, FRAME_SKIP, 0.001, tb=TB, interpret=True)
+
+    rng = np.random.default_rng(0)
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose]).astype(np.float32)[:, None], (1, B))
+    qpos[:2] += 0.01 * rng.standard_normal((2, B)).astype(np.float32)
+    qvel = (0.05 * rng.standard_normal((18, B))).astype(np.float32)
+    target = pose[:, None] + 0.05 * rng.standard_normal((12, B)).astype(np.float32)
+    kp = np.tile(np.array([200, 200, 200, 250, 80, 80] * 2, np.float32)[:, None], (1, B))
+    kd = np.tile(np.array([20, 20, 20, 25, 8, 8] * 2, np.float32)[:, None], (1, B))
+    bemf = np.zeros((12, B), np.float32)
+
+    p1 = default_dyn_params(model, jnp.asarray(kp[:, 0]), jnp.asarray(kd[:, 0]))
+    params_b = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+    params_t = batched._params_to_trailing(params_b)
+
+    out = run(
+        jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(target), jnp.asarray(kp), jnp.asarray(kd),
+        jnp.asarray(bemf), params_t.dof_damping, params_t.dof_frictionloss, params_t.body_mass,
+        params_t.body_ipos.reshape(-1, B), jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
+    )
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos.T), jnp.asarray(qvel.T))
+    ref = batched.pd_substeps_batched(model, params_b, states, jnp.asarray(target.T), FRAME_SKIP, 0.001)
+
+    np.testing.assert_allclose(np.asarray(out[0].T), np.asarray(ref.qpos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1].T), np.asarray(ref.qvel), atol=2e-3)
+    grf_k = np.asarray(jnp.sum(jnp.linalg.norm(out[4].reshape(nc, 3, B), axis=1) * out[6], axis=0))
+    grf_r = np.asarray(jnp.sum(jnp.linalg.norm(ref.contact.force, axis=-1) * ref.contact.mask, axis=1))
+    np.testing.assert_allclose(grf_k, grf_r, rtol=0.02, atol=1.0)
