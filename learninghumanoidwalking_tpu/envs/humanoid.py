@@ -116,6 +116,12 @@ class HumanoidEnv(Env):
             self.obs_noise_scale = jnp.asarray(scale_vec)
 
         self.init_noise = float(cfg.init_noise) if cfg.init_noise else 0.0
+        # optional actuator randomizations (robot_base.py:5-59: pdrand_k
+        # rescales PD gains per control step; sim_bemf resamples a back-EMF
+        # torque damping tau_d ~ U(5,40) with p=1/10). Both default off, as in
+        # every shipped reference env.
+        self.pdrand_k = float(cfg.pdrand_k) if cfg.pdrand_k else 0.0
+        self.sim_bemf = bool(cfg.sim_bemf)
 
     # --------------------------------------------------------------- gather
 
@@ -357,7 +363,17 @@ class HumanoidEnv(Env):
 
         # stochastic DR events (base_humanoid_env.py:221-225)
         dyn = state.dyn
-        ev1, ev2 = jax.random.split(k_ev)
+        ev1, ev2, ev3, ev4 = jax.random.split(k_ev, 4)
+        if self.pdrand_k > 0:
+            k = self.pdrand_k
+            kp = self.kp * jax.random.uniform(ev3, (self.model.nu,), minval=1 - k, maxval=1 + k)
+            kd = self.kd * jax.random.uniform(ev4, (self.model.nu,), minval=1 - k, maxval=1 + k)
+            dyn = dyn.replace(kp=kp, kd=kd)
+        if self.sim_bemf:
+            kb1, kb2 = jax.random.split(ev3)
+            hit = jax.random.randint(kb1, (), 0, 10) == 0
+            tau_d = jax.random.uniform(kb2, (self.model.nu,), minval=5.0, maxval=40.0)
+            dyn = dyn.replace(bemf_gain=jnp.where(hit, tau_d, dyn.bemf_gain))
         if self.dynrand_interval > 0:
             hit = jax.random.randint(ev1, (), 0, self.dynrand_interval) == 0
             new_dyn = self._sample_dynamics(k_dyn)

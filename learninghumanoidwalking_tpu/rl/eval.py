@@ -81,6 +81,12 @@ def evaluate_policy(path: Path, episodes: int = 3, max_steps: int = 400, out: Pa
     if out is not None:
         out = Path(out)
         out.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(out, **{f"episode_{i}": q for i, q in enumerate(all_qpos)})
-        print(f"wrote trajectories to {out}")
+        if out.suffix in (".mp4", ".gif"):
+            from learninghumanoidwalking_tpu.rl.render import render_trajectory
+
+            render_trajectory(env, all_qpos[0], out)
+            print(f"rendered episode 0 to {out}")
+        else:
+            np.savez(out, **{f"episode_{i}": q for i, q in enumerate(all_qpos)})
+            print(f"wrote trajectories to {out}")
     return all_qpos
