@@ -10,7 +10,6 @@ iteration; same mirror indices as jvrc_walk with identity-mirrored goals.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from learninghumanoidwalking_tpu.envs.humanoid import HumanoidEnv, load_config

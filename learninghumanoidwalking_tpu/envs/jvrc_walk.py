@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from learninghumanoidwalking_tpu.envs.humanoid import HumanoidEnv, load_config
 from learninghumanoidwalking_tpu.envs.walking_mixin import WalkingTaskMixin
 from learninghumanoidwalking_tpu.models import jvrc
+from learninghumanoidwalking_tpu.tasks import walking
 from learninghumanoidwalking_tpu.physics.spec import lower
 
 
@@ -35,9 +36,7 @@ class JvrcWalkEnv(WalkingTaskMixin, HumanoidEnv):
         self.nominal_qpos = np.concatenate(
             [np.array([0, 0, jvrc.NOMINAL_HEIGHT], dtype=np.float32), np.array([1, 0, 0, 0], dtype=np.float32), pose]
         )
-        self.reward_names = __import__(
-            "learninghumanoidwalking_tpu.tasks.walking", fromlist=["REWARD_NAMES"]
-        ).REWARD_NAMES
+        self.reward_names = walking.REWARD_NAMES
         self._finalize()
         self._setup_walking()
         self._setup_mirror()

@@ -12,12 +12,11 @@ Contacts use a softer solref (longer timeconst) for compliant ground.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from learninghumanoidwalking_tpu.envs.humanoid import HumanoidEnv, load_config
+from learninghumanoidwalking_tpu.envs.humanoid import load_config
 from learninghumanoidwalking_tpu.envs.jvrc_walk import JvrcWalkEnv
 from learninghumanoidwalking_tpu.models import jvrc
 from learninghumanoidwalking_tpu.physics.engine import Terrain

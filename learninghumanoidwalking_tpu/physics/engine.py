@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from learninghumanoidwalking_tpu.physics.linalg_small import cho_solve_outer, cholesky_outer
-from learninghumanoidwalking_tpu.physics.model import BOX, FREE, HINGE, SLIDE, Contact, DynParams, Model, PhysicsState
+from learninghumanoidwalking_tpu.physics.model import FREE, HINGE, SLIDE, Contact, DynParams, Model, PhysicsState
 from learninghumanoidwalking_tpu.utils import maths
 
 # Contacts activate when signed distance < margin (MuJoCo default margin 0).

@@ -13,10 +13,8 @@ from pathlib import Path
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from learninghumanoidwalking_tpu.envs import make_env
-from learninghumanoidwalking_tpu.rl import networks
 from learninghumanoidwalking_tpu.rl.checkpoint import Checkpointer, find_latest_run
 from learninghumanoidwalking_tpu.rl.normalize import RunningNorm
 from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -293,7 +292,6 @@ class PPO:
             ep_ret = jnp.where(done, 0.0, ep_ret)
             return (next_state, ep_ret, key), out
 
-        ep_ret0 = getattr(ts.env_state, "_ep_ret", None)
         (env_state, _, key), traj = jax.lax.scan(
             step_fn, (ts.env_state, jnp.zeros(cfg.num_envs), key), None, length=cfg.rollout_len
         )
@@ -362,7 +360,7 @@ class PPO:
 
     # ---------------------------------------------------------------- update
 
-    def _loss_fn(self, actor_params, critic_params, norm, mb, old_log_std_mean):
+    def _loss_fn(self, actor_params, critic_params, norm, mb):
         cfg = self.cfg
         obs, actions, old_log_probs, advantages, returns = mb
 
@@ -566,9 +564,7 @@ class PPO:
                     flat.returns[idx],
                 )
                 grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
-                (loss, aux), (a_grad, c_grad) = grad_fn(
-                    actor_params, critic_params, ts.norm, mb, None
-                )
+                (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)
                 a_updates, actor_opt = self.actor_tx.update(a_grad, actor_opt, actor_params)
                 actor_params = optax.apply_updates(actor_params, a_updates)
                 c_updates, critic_opt = self.critic_tx.update(c_grad, critic_opt, critic_params)

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from learninghumanoidwalking_tpu.tasks import rewards
-from learninghumanoidwalking_tpu.utils import maths
 
 FORWARD, INPLACE, STANDING = 0, 1, 2
 

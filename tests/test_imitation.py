@@ -7,7 +7,6 @@ projector with --imitate => error.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from learninghumanoidwalking_tpu.envs import make_env
 from learninghumanoidwalking_tpu.rl.imitation import ImitationQuery, imitation_loss
