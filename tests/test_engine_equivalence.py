@@ -1,0 +1,49 @@
+"""The two XLA engine implementations must agree.
+
+physics/engine.py (readable vmapped reference) and physics/batched.py
+(batch-in-lanes) implement the same semantics with different solvers
+(row-sum Jacobi vs Cholesky-preconditioned projection); trajectories must
+match to float32 contact-solver tolerance.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from learninghumanoidwalking_tpu.models.jvrc import HALF_SITTING_POSE_DEG, NOMINAL_HEIGHT, jvrc_spec
+from learninghumanoidwalking_tpu.physics import batched, engine
+from learninghumanoidwalking_tpu.physics.model import default_dyn_params
+from learninghumanoidwalking_tpu.physics.spec import lower
+from learninghumanoidwalking_tpu.robots.pd import pd_substeps
+
+
+def test_batched_matches_vmapped():
+    B = 4
+    model = lower(jvrc_spec())
+    kp = jnp.asarray([200, 200, 200, 250, 80, 80] * 2, dtype=jnp.float32)
+    kd = jnp.asarray([20, 20, 20, 25, 8, 8] * 2, dtype=jnp.float32)
+    p1 = default_dyn_params(model, kp, kd)
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+
+    rng = np.random.default_rng(3)
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose])[None, :], (B, 1)).astype(np.float32)
+    qpos[:, 7:] += 0.03 * rng.standard_normal((B, 12)).astype(np.float32)
+    qvel = (0.05 * rng.standard_normal((B, 18))).astype(np.float32)
+    target = jnp.asarray(np.tile(pose[None, :], (B, 1)) + 0.02)
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
+
+    ref = jax.jit(jax.vmap(lambda p, s, t: pd_substeps(model, p, s, t, 25, 0.001)))(params, states, target)
+    out = jax.jit(lambda p, s, t: batched.pd_substeps_batched(model, p, s, t, 25, 0.001))(params, states, target)
+
+    # the two contact solvers (row-sum Jacobi vs Cholesky-preconditioned
+    # projection) converge differently during impact transients; randomized
+    # initial states with penetrating feet bound their divergence at ~0.03 rad
+    # after 25 substeps (both match MuJoCo to ~1 mm on settled trajectories,
+    # tests/test_mujoco_golden.py)
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(out.xpos), np.asarray(ref.xpos), atol=5e-2)
+    grf_a = np.asarray(jnp.sum(jnp.linalg.norm(ref.contact.force, axis=-1) * ref.contact.mask, axis=1))
+    grf_b = np.asarray(jnp.sum(jnp.linalg.norm(out.contact.force, axis=-1) * out.contact.mask, axis=1))
+    np.testing.assert_allclose(grf_a, grf_b, rtol=0.08, atol=8.0)
