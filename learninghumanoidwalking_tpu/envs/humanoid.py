@@ -283,14 +283,14 @@ class HumanoidEnv(Env):
         else:
             physics, dyn, task, k_obs, key = jax.vmap(self._reset_pre)(keys, iteration)
         batch = keys.shape[0]
+        terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
         if self._use_kernel(batch):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 
             physics = pd_substeps_kernel(
-                self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, settle=True
+                self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, terrain, settle=True
             )
         else:
-            terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
             physics = pd_substeps_batched(
                 self.model, dyn, physics, jnp.zeros((batch, self.model.nu)), 3, self.sim_dt, terrain, settle=True
             )
@@ -316,11 +316,10 @@ class HumanoidEnv(Env):
         return self._post_step(state, physics, action, full_target)
 
     def _use_kernel(self, batch: int) -> bool:
-        """Use the pallas mega-kernel on TPU backends for flat-floor models
-        (terrain envs keep the XLA batched engine; CPU has no Mosaic)."""
+        """Use the pallas mega-kernel on TPU backends (CPU has no Mosaic)."""
         from learninghumanoidwalking_tpu.ops.substep_kernel import kernel_tile
 
-        if self.model.nterrain > 0 or kernel_tile(batch) is None:
+        if kernel_tile(batch) is None:
             return False
         return jax.default_backend() not in ("cpu",)
 
@@ -329,14 +328,14 @@ class HumanoidEnv(Env):
         from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
 
         full_target = jax.vmap(self._pre_step)(states, actions)
+        terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
         if self._use_kernel(actions.shape[0]):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 
             physics = pd_substeps_kernel(
-                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt
+                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
             )
         else:
-            terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
             physics = pd_substeps_batched(
                 self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
             )

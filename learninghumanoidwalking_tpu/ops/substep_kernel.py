@@ -15,8 +15,8 @@ are (3/4/6, TB) blocks; matrices are Python lists of row blocks. The tree,
 masses, and geometry are static Python constants baked into the kernel, so
 the generated code is straight-line VPU arithmetic.
 
-Scope (phase 1): flat-floor contacts (jvrc_walk / h1 / h1_walk); terrain
-envs (jvrc_step, jvrc_walk_rough) keep the XLA batched engine. Domain
+Scope: all envs. Flat-floor and terrain contacts (the stepping/rough envs
+pass their per-env Terrain boxes as support-height inputs). Domain
 randomization enters through the dyn-param inputs like everywhere else.
 
 Correctness gate: tests/test_kernel.py compares this kernel (interpret mode)
@@ -436,11 +436,37 @@ def _build_substep(model: Model, dt: float, tb: int):
         l_rows, qacc_smooth = _chol_solve_rows(mh_rows, qfrc, nv, tb)
 
         # ---------------- contacts ----------------
+        nt = model.nterrain
         cpos, cdist = [], []
         for bi, local, mu in slots:
             p = xpos[bi] + _matvec_np_local(rmats[bi], local)
             cpos.append(p)
-            cdist.append(p[2:3])  # flat floor at z=0
+            if nt == 0:
+                cdist.append(p[2:3])  # flat floor at z=0
+            else:
+                # support-height query: max of floor and terrain-box top faces
+                # whose yaw-rotated footprint contains the corner (mirrors
+                # engine.support_height)
+                tpos = ctx["terrain_pos"]  # (3nt, TB)
+                tsize = ctx["terrain_size"]  # (3nt, TB)
+                tyaw_c = ctx["terrain_cos"]  # (nt, TB)
+                tyaw_s = ctx["terrain_sin"]  # (nt, TB)
+                support = ctx["floor_z"]  # (1, TB)
+                px, py, pz = p[0:1], p[1:2], p[2:3]
+                for t_i in range(nt):
+                    dx = px - tpos[3 * t_i : 3 * t_i + 1]
+                    dy = py - tpos[3 * t_i + 1 : 3 * t_i + 2]
+                    c_ = tyaw_c[t_i : t_i + 1]
+                    s_ = tyaw_s[t_i : t_i + 1]
+                    lx = c_ * dx + s_ * dy
+                    ly = -s_ * dx + c_ * dy
+                    inside = jnp.logical_and(
+                        jnp.abs(lx) <= tsize[3 * t_i : 3 * t_i + 1],
+                        jnp.abs(ly) <= tsize[3 * t_i + 1 : 3 * t_i + 2],
+                    )
+                    top = tpos[3 * t_i + 2 : 3 * t_i + 3] + tsize[3 * t_i + 2 : 3 * t_i + 3]
+                    support = jnp.maximum(support, jnp.where(inside, top, -1e9))
+                cdist.append(pz - support)
         cmask = [jnp.where(d < eng.CONTACT_MARGIN, 1.0, 0.0) for d in cdist]
 
         # contact jacobian rows (per slot: 3 rows (nv,TB) -> store as lists of
@@ -647,11 +673,11 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
     ad0 = int(np.asarray(model.actuator_dof)[0]) if nu else 0
     gear = np.asarray(model.actuator_gear)
 
-    def kernel(
-        qpos_ref, qvel_ref, target_ref, kp_ref, kd_ref, bemf_ref,
-        damping_ref, frictionloss_ref, body_mass_ref, body_ipos_ref, xfrc_ref,
-        qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out,
-    ):
+    nt = model.nterrain
+
+    def kernel(*refs):
+        (qpos_ref, qvel_ref, target_ref, kp_ref, kd_ref, bemf_ref,
+         damping_ref, frictionloss_ref, body_mass_ref, body_ipos_ref, xfrc_ref) = refs[:11]
         ctx = dict(
             damping=damping_ref[:],
             frictionloss=frictionloss_ref[:],
@@ -659,6 +685,19 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
             body_ipos=body_ipos_ref[:],
             xfrc=xfrc_ref[:],
         )
+        if nt > 0:
+            tpos_ref, tsize_ref, tcos_ref, tsin_ref, floorz_ref = refs[11:16]
+            ctx.update(
+                terrain_pos=tpos_ref[:],
+                terrain_size=tsize_ref[:],
+                terrain_cos=tcos_ref[:],
+                terrain_sin=tsin_ref[:],
+                floor_z=floorz_ref[:],
+            )
+            outs = refs[16:]
+        else:
+            outs = refs[11:]
+        (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out) = outs
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
 
@@ -698,12 +737,23 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
         cmask_out[:] = extras["cmask"]
         cpos_out[:] = extras["cpos"]
 
-    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc):
+    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None):
         batch = qpos.shape[1]
         grid = (batch // tb,)
 
         def spec(rows):
             return pl.BlockSpec((rows, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+        in_specs = [
+            spec(nq), spec(nv), spec(nu), spec(nu), spec(nu), spec(nu),
+            spec(nv), spec(nv), spec(nb), spec(3 * nb), spec(6 * nb),
+        ]
+        args = [qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc]
+        if nt > 0:
+            # terrain: (tpos (3nt,B), tsize (3nt,B), cos(yaw) (nt,B),
+            # sin(yaw) (nt,B), floor_z (1,B))
+            in_specs += [spec(3 * nt), spec(3 * nt), spec(nt), spec(nt), spec(1)]
+            args += list(terrain)
 
         out_shapes = [
             jax.ShapeDtypeStruct((nq, batch), jnp.float32),
@@ -718,14 +768,11 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                spec(nq), spec(nv), spec(nu), spec(nu), spec(nu), spec(nu),
-                spec(nv), spec(nv), spec(nb), spec(3 * nb), spec(6 * nb),
-            ],
+            in_specs=in_specs,
             out_specs=[spec(nq), spec(nv), spec(nv), spec(nu), spec(3 * nc), spec(nc), spec(nc), spec(3 * nc)],
             out_shape=out_shapes,
             interpret=interpret,
-        )(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc)
+        )(*args)
 
     return run, nc
 
@@ -742,12 +789,15 @@ def kernel_tile(batch: int, prefer: int = 256) -> int | None:
     for tb in (prefer, 128):
         if batch % tb == 0:
             return tb
+    if batch <= 128:  # tiny batches (tests, probes): single-tile grid
+        return batch
     return None
 
 
-def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, settle=False):
-    """Same contract as physics.batched.pd_substeps_batched, flat floor only,
-    physics fused into one pallas launch per control step.
+def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terrain=None, settle=False):
+    """Same contract as physics.batched.pd_substeps_batched, physics fused
+    into one pallas launch per control step. `terrain` is a leading-batch
+    engine.Terrain (required when model.nterrain > 0).
 
     settle=True runs zero-torque substeps (reset settling) by zeroing the PD
     gains — same kernel, no extra compilation.
@@ -768,6 +818,15 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, settl
     kd = zeros_u if settle else params_t.kd
     bemf = zeros_u if settle else params_t.bemf_gain
 
+    terrain_blocks = None
+    if model.nterrain > 0:
+        # leading-batch Terrain -> (3nt,B), (3nt,B), cos/sin (nt,B), floor (1,B)
+        tpos = jnp.transpose(terrain.pos, (1, 2, 0)).reshape(-1, batch)
+        tsize = jnp.transpose(terrain.size, (1, 2, 0)).reshape(-1, batch)
+        yaw = jnp.swapaxes(terrain.yaw, 0, 1)
+        floor_z = jnp.broadcast_to(jnp.reshape(terrain.floor_z, (1, -1)), (1, batch))
+        terrain_blocks = (tpos, tsize, jnp.cos(yaw), jnp.sin(yaw), floor_z)
+
     out = run(
         jnp.swapaxes(physics.qpos, 0, 1),
         jnp.swapaxes(physics.qvel, 0, 1),
@@ -780,6 +839,7 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, settl
         params_t.body_mass,
         params_t.body_ipos.reshape(-1, batch),
         jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
+        terrain=terrain_blocks,
     )
     qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos = out
 

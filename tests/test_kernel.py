@@ -50,3 +50,41 @@ def test_kernel_matches_batched_engine():
     grf_k = np.asarray(jnp.sum(jnp.linalg.norm(out[4].reshape(nc, 3, B), axis=1) * out[6], axis=0))
     grf_r = np.asarray(jnp.sum(jnp.linalg.norm(ref.contact.force, axis=-1) * ref.contact.mask, axis=1))
     np.testing.assert_allclose(grf_k, grf_r, rtol=0.02, atol=1.0)
+
+
+@pytest.mark.slow
+def test_kernel_terrain_matches_batched_engine():
+    """Terrain (stepping-stone) contacts through the kernel's support-height
+    inputs must match the batched engine's query."""
+    from learninghumanoidwalking_tpu.ops import substep_kernel as sk
+    from learninghumanoidwalking_tpu.physics.engine import Terrain
+
+    TB = B = 8
+    NT = 6
+    model = lower(jvrc_spec(nterrain=NT))
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+
+    rng = np.random.default_rng(0)
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(
+        np.concatenate([[0, 0, NOMINAL_HEIGHT + 0.03], [1, 0, 0, 0], pose]).astype(np.float32)[None, :], (B, 1)
+    )
+    qvel = (0.05 * rng.standard_normal((B, 18))).astype(np.float32)
+    target = jnp.asarray(np.tile(pose[None, :], (B, 1)))
+    kp = jnp.asarray([200, 200, 200, 250, 80, 80] * 2, jnp.float32)
+    kd = jnp.asarray([20, 20, 20, 25, 8, 8] * 2, jnp.float32)
+    p1 = default_dyn_params(model, kp, kd)
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+
+    tpos = np.tile(np.array([[0.1, 0.1, -0.07]] * NT, np.float32)[None], (B, 1, 1))
+    tpos[:, 3:, :2] = 5.0
+    tsize = np.tile(np.array([[0.5, 0.5, 0.1]] * NT, np.float32)[None], (B, 1, 1))
+    terrain = Terrain(
+        pos=jnp.asarray(tpos), size=jnp.asarray(tsize), yaw=0.3 * jnp.ones((B, NT)), floor_z=jnp.zeros(B)
+    )
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
+    ref = batched.pd_substeps_batched(model, params, states, target, 5, 0.001, terrain)
+    out = sk.pd_substeps_kernel(model, params, states, target, 5, 0.001, terrain)
+    np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.contact.mask), np.asarray(ref.contact.mask))
