@@ -5,7 +5,7 @@ subcommands and hyperparameter surface, TPU-native execution: no Ray; the env
 batch lives on device and is optionally sharded over a jax.sharding mesh.
 
   python run_experiment.py train --env jvrc_walk --logdir /tmp/logs
-  python run_experiment.py eval --path /tmp/logs/<run>
+  python run_experiment.py eval --path /tmp/logs
 """
 
 from __future__ import annotations
