@@ -1,6 +1,7 @@
 """Throughput benchmark: env steps/sec on the jvrc_walk hot path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
+auxiliary fields: end-to-end training fps and an HW-utilization estimate).
 
 The measured quantity is the full on-device sampling path (policy forward +
 25 PD+physics substeps per control step + task/reward/obs + auto-reset) for a
@@ -19,6 +20,10 @@ import time
 NUM_ENVS = 4096
 ROLLOUT_LEN = 16
 BASELINE_TARGET = 10_000_000.0  # env steps/s north star (BASELINE.json)
+# v5e peak: 197 TFLOP/s bf16 on the MXU. The physics kernel is VPU fp32
+# (elementwise) work, so "MFU" here is a utilization *estimate*: XLA-counted
+# flops per second over the bf16 MXU peak — a lower bound on headroom.
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -35,7 +40,7 @@ def main():
         pass
 
     env = make_env("jvrc_walk")
-    cfg = PPOConfig(num_envs=NUM_ENVS, rollout_len=ROLLOUT_LEN, minibatch_size=8192, max_traj_len=400)
+    cfg = PPOConfig(num_envs=NUM_ENVS, rollout_len=ROLLOUT_LEN, minibatch_size=32768, max_traj_len=400)
     ppo = PPO(env, cfg)
     ts = ppo.init_state(jax.random.PRNGKey(0))
 
@@ -54,6 +59,31 @@ def main():
 
     steps = NUM_ENVS * ROLLOUT_LEN * n_iters
     sps = steps / dt
+
+    # hardware-utilization estimate from XLA's cost analysis of the rollout
+    flops_per_call = None
+    try:
+        cost = jax.jit(lambda ts, key: ppo._rollout(ts, key, False)[2]["reward"].sum()).lower(ts, key).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_call = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    util = round(flops_per_call * n_iters / dt / V5E_PEAK_FLOPS, 4) if flops_per_call else None
+
+    # end-to-end training fps (rollout + GAE + PPO update), one full iteration
+    ts2, batch, k_upd, rm = ppo._sample_iter(ts)
+    float(rm["mean_reward"])  # compile sample
+    ts3, aux = ppo._optimize_iter(ts2, batch, k_upd)
+    float(aux["actor_loss"])  # compile optimize
+    t0 = time.perf_counter()
+    n_train = 3
+    for i in range(n_train):
+        ts2, batch, k_upd, rm = ppo._sample_iter(ts2)
+        ts2, aux = ppo._optimize_iter(ts2, batch, k_upd)
+        float(aux["actor_loss"])
+    train_fps = NUM_ENVS * ROLLOUT_LEN * n_train / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -61,6 +91,8 @@ def main():
                 "value": round(sps, 1),
                 "unit": "env_steps/s",
                 "vs_baseline": round(sps / BASELINE_TARGET, 4),
+                "training_fps": round(train_fps, 1),
+                "hw_utilization_est": util,
             }
         )
     )

@@ -469,41 +469,77 @@ def _build_substep(model: Model, dt: float, tb: int):
                 cdist.append(pz - support)
         cmask = [jnp.where(d < eng.CONTACT_MARGIN, 1.0, 0.0) for d in cdist]
 
-        # contact jacobian rows (per slot: 3 rows (nv,TB) -> store as lists of
-        # per-dof (1,TB)): Jc[c][f] = (nv,TB)
-        # point jacobian for dof d: jp = S_lin + S_ang x p; rows n=z, t1=x, t2=y
-        jc = []  # per slot: (3, nv, TB) as list of 3 (nv,TB)
-        for (bi, local, mu), p in zip(slots, cpos):
-            rows_z, rows_x, rows_y = [], [], []
-            for d in range(nv):
-                if anc[bi, d] > 0.5:
-                    sa, sl = S[d][:3], S[d][3:]
-                    jp = sl - _cross(p, sa)
-                    rows_x.append(jp[0:1])
-                    rows_y.append(jp[1:2])
-                    rows_z.append(jp[2:3])
-                else:
-                    z = jnp.zeros((1, tb))
-                    rows_x.append(z)
-                    rows_y.append(z)
-                    rows_z.append(z)
-            jc.append(
-                (jnp.concatenate(rows_z), jnp.concatenate(rows_x), jnp.concatenate(rows_y))
+        # Contact jacobians via a per-foot-body BASIS: the corner jacobian for
+        # dof d is jp = S_lin - p x S_ang, so every contact row is a 3-term
+        # linear combination (coefficients = corner coordinates) of the 6
+        # body-level basis vectors {SA_x,SA_y,SA_z,SL_x,SL_y,SL_z} masked to
+        # the foot's ancestor dofs. A = Jc M^-1 Jc^T = Y^T Y with Y = L^-1 B
+        # then needs only 6 FORWARD substitutions per foot (12 total) plus a
+        # 12x12 Gram, instead of 3*nc=24 full (fwd+bwd) M-solves — the
+        # dominant cost of the kernel in round 1 (PERFORMANCE.md ladder).
+        foot_bodies = []
+        for bi, _, _ in slots:
+            if bi not in foot_bodies:
+                foot_bodies.append(bi)
+        basis = {}  # (body, k) -> (nv,TB); k indexes S rows: 0..2 ang, 3..5 lin
+        for b in foot_bodies:
+            for k in range(6):
+                rows = [
+                    S[d][k : k + 1] if anc[b, d] > 0.5 else jnp.zeros((1, tb))
+                    for d in range(nv)
+                ]
+                basis[(b, k)] = jnp.concatenate(rows)
+
+        def slot_coeffs(bi, p):
+            """Per-frame 3-term basis expansion of the contact rows.
+            cross(p, sa) = (py*saz - pz*say, pz*sax - px*saz, px*say - py*sax);
+            frame order is (z, x, y) = (normal, t1, t2)."""
+            px, py, pz = p[0:1], p[1:2], p[2:3]
+            return (
+                (((bi, 5), 1.0), ((bi, 1), -px), ((bi, 0), py)),   # z row
+                (((bi, 3), 1.0), ((bi, 2), -py), ((bi, 1), pz)),   # x row
+                (((bi, 4), 1.0), ((bi, 0), -pz), ((bi, 2), px)),   # y row
             )
 
-        # A = Jc M^-1 Jc^T: solve M X = Jc^T (3nc rhs) using the factor
-        minv_rows = []  # per (slot, frame) -> (nv,TB)
-        for c in range(nc):
-            for f in range(3):
-                minv_rows.append(_cho_solve_rows(l_rows, jc[c][f], nv, tb))
+        coeffs = []  # flat list over 3*nc contact rows
+        for (bi, local, mu), p in zip(slots, cpos):
+            coeffs.extend(slot_coeffs(bi, p))
+
+        # Y = L^-1 B (forward substitutions only) and Gram G = Y^T Y
+        yb = {bk: _forward_rows(l_rows, blk, nv) for bk, blk in basis.items()}
+        bkeys = list(basis.keys())
+        gram = {}
+        for a_i, k1 in enumerate(bkeys):
+            for k2 in bkeys[a_i:]:
+                g = _dot(yb[k1], yb[k2])
+                gram[(k1, k2)] = g
+                gram[(k2, k1)] = g
+
+        def combo(ci, cj):
+            out = None
+            for key_i, w_i in ci:
+                for key_j, w_j in cj:
+                    term = w_i * w_j * gram[(key_i, key_j)]
+                    out = term if out is None else out + term
+            return out
+
         a_rows = [[None] * (3 * nc) for _ in range(3 * nc)]
         for i in range(3 * nc):
-            ci, fi = divmod(i, 3)
             for j in range(i, 3 * nc):
-                cj, fj = divmod(j, 3)
-                val = _dot(jc[ci][fi], minv_rows[j])
+                val = combo(coeffs[i], coeffs[j])
                 a_rows[i][j] = val
                 a_rows[j][i] = val
+
+        # contact-row dots with qvel / qacc_smooth through the basis
+        u_vel = {bk: _dot(blk, qvel) for bk, blk in basis.items()}
+        u_acc = {bk: _dot(blk, qacc_smooth) for bk, blk in basis.items()}
+
+        def row_dot(ci, u):
+            out = None
+            for key_i, w_i in ci:
+                term = w_i * u[key_i]
+                out = term if out is None else out + term
+            return out
 
         # aref + regularization
         b_list = []
@@ -511,11 +547,11 @@ def _build_substep(model: Model, dt: float, tb: int):
             pen = jnp.minimum(cdist[c], 0.0)
             imp = imp_min + (imp_max - imp_min) * jnp.clip(-pen / width, 0.0, 1.0)
             for f in range(3):
-                vel = _dot(jc[c][f], qvel)
+                vel = row_dot(coeffs[3 * c + f], u_vel)
                 aref = -b_ref * vel
                 if f == 0:
                     aref = aref - k_ref * imp * pen
-                a0 = _dot(jc[c][f], qacc_smooth)
+                a0 = row_dot(coeffs[3 * c + f], u_acc)
                 r_diag = (1.0 - imp) / jnp.maximum(imp, 1e-6) * jnp.maximum(a_rows[3 * c + f][3 * c + f], 1e-8)
                 i_full = 3 * c + f
                 a_rows[i_full][i_full] = a_rows[i_full][i_full] + r_diag
@@ -554,11 +590,18 @@ def _build_substep(model: Model, dt: float, tb: int):
             r = b_vec - jnp.concatenate([_dot(a_blocks[i], fvec) for i in range(n3)])
             fvec = project(fvec + _cho_solve_rows(la_rows, r, n3, tb))
 
-        # qfrc_con = Jc^T f ; qacc = qacc_smooth + M^-1 qfrc_con
+        # qfrc_con = Jc^T f = B^T w with w_k = sum_i coeff_ik f_i (12 basis
+        # accumulators instead of 24 (nv,TB) jacobian rows)
+        w_basis = {bk: None for bk in bkeys}
+        for i in range(3 * nc):
+            fi = fvec[i : i + 1]
+            for key_i, w_i in coeffs[i]:
+                term = w_i * fi
+                w_basis[key_i] = term if w_basis[key_i] is None else w_basis[key_i] + term
         qfrc_con = jnp.zeros((nv, tb))
-        for c in range(nc):
-            for f in range(3):
-                qfrc_con = qfrc_con + jc[c][f] * fvec[3 * c + f : 3 * c + f + 1]
+        for bk in bkeys:
+            if w_basis[bk] is not None:
+                qfrc_con = qfrc_con + basis[bk] * w_basis[bk]
         qacc = qacc_smooth + _cho_solve_rows(l_rows, qfrc_con, nv, tb)
 
         # ---------------- integrate ----------------
@@ -632,6 +675,17 @@ def _chol_solve_rows(m_rows, b, n, tb):
             r[i] = r[i] - col[i : i + 1] * col
         l_cols.append(col)
     return l_cols, _cho_solve_rows(l_cols, b, n, tb)
+
+
+def _forward_rows(l_cols, b, n):
+    """Forward substitution only: solve L y = b given column list l_cols."""
+    r = b
+    ys = []
+    for j in range(n):
+        yj = r[j : j + 1] / l_cols[j][j : j + 1]
+        ys.append(yj)
+        r = r - l_cols[j] * yj
+    return jnp.concatenate(ys)
 
 
 def _cho_solve_rows(l_cols, b, n, tb):

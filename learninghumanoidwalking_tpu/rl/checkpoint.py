@@ -44,7 +44,13 @@ class Checkpointer:
     def _persistable(train_state: Any) -> dict:
         """Strip the transient env batch (fresh envs are created on resume,
         like the reference's --continued path, ppo.py:69-82) and zero-size
-        leaves that Orbax cannot serialize."""
+        leaves that Orbax cannot serialize.
+
+        Recurrent hidden states (actor_carry/critic_carry) are intentionally
+        NOT persisted: they are per-env-batch state, and the env batch itself
+        is recreated fresh on resume — a restored run re-inits carries to
+        zero via init_state, matching episode-boundary semantics (the hidden
+        state is zeroed at every reset anyway, ppo._mask_carry)."""
         return {
             "actor_params": train_state.actor_params,
             "critic_params": train_state.critic_params,

@@ -178,7 +178,11 @@ class PPO:
         self.expert_apply = expert_apply
         self.expert_params = expert_params
 
-        self._train_iter = jax.jit(self._train_iteration)
+        # two jitted segments (rollout+GAE vs update) so Time/sample_time and
+        # Time/optimize_time are real wall-clock splits (reference
+        # ppo.py:480-481,568-569); _train_iter composes them
+        self._sample_iter = jax.jit(self._sample_iteration)
+        self._optimize_iter = jax.jit(self._optimize_iteration)
         self._eval_iter = jax.jit(self._eval_rollout)
         self._warmup_iter = jax.jit(self._warmup_iteration)
 
@@ -592,7 +596,15 @@ class PPO:
 
     # ------------------------------------------------------------- iteration
 
-    def _train_iteration(self, ts: TrainState):
+    def _train_iter(self, ts: TrainState):
+        """One full PPO iteration: jitted sample segment + jitted optimize
+        segment (kept separate so their wall times can be measured; the
+        intermediate batch stays on device)."""
+        ts, batch, k_upd, roll_metrics = self._sample_iter(ts)
+        ts, aux = self._optimize_iter(ts, batch, k_upd)
+        return ts, {**roll_metrics, **aux}
+
+    def _sample_iteration(self, ts: TrainState):
         key, k_roll, k_upd = jax.random.split(ts.key, 3)
         env_state, _, traj = self._rollout(ts, k_roll, deterministic=False)
 
@@ -622,8 +634,10 @@ class PPO:
         if self.cfg.recurrent:
             a_carry, c_carry = traj["final_carries"]
             ts = ts.replace(actor_carry=a_carry, critic_carry=c_carry)
-        ts = ts.replace(env_state=ts.env_state.replace(iteration=jnp.broadcast_to(ts.iteration, (self.cfg.num_envs,))))
-        ts, aux = self._update(ts, batch, k_upd)
+        # advance the per-env curriculum counter by deriving from the existing
+        # (data-sharded) leaf rather than broadcasting the scalar — keeps the
+        # env batch's mesh sharding stable across iterations
+        ts = ts.replace(env_state=ts.env_state.replace(iteration=ts.env_state.iteration + 1))
 
         done_f = traj["done"].astype(jnp.float32)
         n_done = jnp.sum(done_f)
@@ -633,13 +647,17 @@ class PPO:
             if ep_return is not None
             else jnp.sum(traj["reward"]) / jnp.maximum(n_done, 1.0)
         )
-        metrics = dict(
+        roll_metrics = dict(
             mean_reward=jnp.mean(traj["reward"]),
             mean_episode_length=jnp.sum(done_f * traj["ep_steps"]) / jnp.maximum(n_done, 1.0),
             episodes_finished=n_done,
             episode_reward=ep_reward,
-            **aux,
         )
+        return ts, batch, k_upd, roll_metrics
+
+    def _optimize_iteration(self, ts: TrainState, batch: Batch, k_upd):
+        ts, aux = self._update(ts, batch, k_upd)
+        metrics = dict(aux)
         if self.cfg.recurrent:
             carry1 = networks.LSTMCore.initial_carry(self.hidden_sizes, (1,))
             _, (_, log_std) = self.actor_def.apply(
@@ -734,9 +752,17 @@ class PPO:
         best_eval = -np.inf
         for itr in range(n_itr):
             t0 = time.time()
-            ts, metrics = self._train_iter(ts)
-            metrics = {k: float(v) for k, v in jax.tree.map(jnp.asarray, metrics).items()}
-            iter_time = time.time() - t0
+            ts, batch, k_upd, roll_metrics = self._sample_iter(ts)
+            # force a fetch: block_until_ready is unreliable on the axon
+            # runtime, but a scalar device->host read is a real sync point
+            roll_metrics = {k: float(v) for k, v in roll_metrics.items()}
+            t1 = time.time()
+            ts, aux = self._optimize_iter(ts, batch, k_upd)
+            aux = {k: float(v) for k, v in aux.items()}
+            t2 = time.time()
+            metrics = {**roll_metrics, **aux}
+            sample_time, optimize_time = t1 - t0, t2 - t1
+            iter_time = t2 - t0
             fps = cfg.batch_size / max(iter_time, 1e-9)
 
             if verbose:
@@ -749,7 +775,7 @@ class PPO:
                 )
             if logger is not None:
                 logger.log_training(itr, metrics)
-                logger.log_timing(itr, fps=fps, sample_time=iter_time, optimize_time=0.0, total_elapsed=time.time() - start)
+                logger.log_timing(itr, fps=fps, sample_time=sample_time, optimize_time=optimize_time, total_elapsed=time.time() - start)
 
             if (itr % cfg.eval_freq == 0) or (itr == n_itr - 1):
                 ts2, k_eval = ts, jax.random.fold_in(ts.key, itr)

@@ -117,9 +117,9 @@ def train(argv):
     # imitation expert (reference ppo.py:111-122)
     imitation_projector = expert_apply = expert_params = None
     if args.imitate:
-        from learninghumanoidwalking_tpu.rl.eval import load_policy
+        from learninghumanoidwalking_tpu.rl.eval import load_expert
 
-        expert_apply, expert_params, _ = load_policy(Path(args.imitate))
+        expert_apply, expert_params, _ = load_expert(Path(args.imitate))
         projector_factory = getattr(env, "imitation_projector", None)
         imitation_projector = projector_factory() if callable(projector_factory) else None
         if imitation_projector is None:

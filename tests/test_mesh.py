@@ -1,0 +1,132 @@
+"""Multi-chip data-parallel sharding tests (VERDICT r1 item 1).
+
+The reference's only parallelism is Ray data-parallel env sampling
+(/root/reference/rl/algos/ppo.py:215-250). The TPU-native equivalent is the
+env batch sharded over a mesh 'data' axis with replicated params
+(parallel/mesh.py). These tests run on the conftest-forced 8-virtual-device
+CPU mesh and check that
+  (a) a full PPO iteration runs sharded and returns finite metrics,
+  (b) sharded and single-device runs from the same seed agree,
+  (c) env-batch leaf shardings survive _train_iter (no silent gather to one
+      device).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from learninghumanoidwalking_tpu.envs import make_env
+from learninghumanoidwalking_tpu.parallel.mesh import make_mesh, shard_train_state
+from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig
+
+N_DEV = 8
+
+
+def _make_ppo(num_envs):
+    env = make_env("cartpole")
+    cfg = PPOConfig(
+        num_envs=num_envs,
+        rollout_len=8,
+        minibatch_size=num_envs * 4,
+        epochs=2,
+        max_traj_len=32,
+        input_norm_iters=0,
+    )
+    return PPO(env, cfg)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must force 8 virtual CPU devices"
+    return make_mesh(N_DEV)
+
+
+def test_sharded_iteration_runs_and_is_finite(mesh):
+    ppo = _make_ppo(num_envs=2 * N_DEV)
+    ts = ppo.init_state(jax.random.PRNGKey(0))
+    ts = shard_train_state(ts, mesh, ppo.cfg.num_envs)
+
+    ts, metrics = ppo._train_iter(ts)
+    metrics = jax.tree.map(np.asarray, metrics)
+    for k, v in metrics.items():
+        assert np.all(np.isfinite(v)), f"metric {k} not finite: {v}"
+
+
+def test_sharded_matches_single_device(mesh):
+    """Same seed, same config: metrics must agree between the sharded and the
+    unsharded placement (XLA SPMD is value-preserving)."""
+    ppo = _make_ppo(num_envs=2 * N_DEV)
+
+    ts_single = ppo.init_state(jax.random.PRNGKey(7))
+    ts_sharded = shard_train_state(
+        ppo.init_state(jax.random.PRNGKey(7)), mesh, ppo.cfg.num_envs
+    )
+
+    for _ in range(2):
+        ts_single, m_single = ppo._train_iter(ts_single)
+        ts_sharded, m_sharded = ppo._train_iter(ts_sharded)
+
+    m_single = jax.tree.map(np.asarray, m_single)
+    m_sharded = jax.tree.map(np.asarray, m_sharded)
+    for k in m_single:
+        np.testing.assert_allclose(
+            m_single[k], m_sharded[k], rtol=2e-4, atol=2e-5,
+            err_msg=f"metric {k} diverged between sharded and single-device",
+        )
+    # parameters should match too (replicated update path)
+    p1 = jax.tree.leaves(ts_single.actor_params)
+    p2 = jax.tree.leaves(ts_sharded.actor_params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+
+def test_shardings_survive_train_iter(mesh):
+    """Env-batch leaves must stay sharded over 'data' after an iteration, and
+    params must stay replicated — otherwise every following iteration pays a
+    gather/scatter."""
+    ppo = _make_ppo(num_envs=2 * N_DEV)
+    ts = shard_train_state(ppo.init_state(jax.random.PRNGKey(3)), mesh, ppo.cfg.num_envs)
+
+    data = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+
+    ts2, _ = ppo._train_iter(ts)
+
+    def batch_leaves(env_state):
+        # zero-size leaves carry no data, and XLA is free to mark them
+        # replicated — skip them
+        return [
+            x for x in jax.tree.leaves(env_state)
+            if hasattr(x, "sharding") and x.ndim >= 1 and x.size
+            and x.shape[0] == ppo.cfg.num_envs
+        ]
+
+    assert batch_leaves(ts2.env_state), "no env-batch leaves found"
+    for leaf in batch_leaves(ts2.env_state):
+        assert leaf.sharding.is_equivalent_to(data, leaf.ndim), (
+            f"env-batch leaf lost its data sharding: {leaf.sharding}"
+        )
+    for leaf in jax.tree.leaves(ts2.actor_params):
+        assert leaf.sharding.is_equivalent_to(replicated, leaf.ndim), (
+            f"actor param not replicated: {leaf.sharding}"
+        )
+
+
+def test_humanoid_sharded_iteration(mesh):
+    """The flagship env (jvrc_walk) also runs sharded — mirrors what
+    __graft_entry__.dryrun_multichip validates, kept here so a regression is
+    caught by pytest and not only by the driver."""
+    env = make_env("jvrc_walk")
+    cfg = PPOConfig(
+        num_envs=2 * N_DEV,
+        rollout_len=2,
+        minibatch_size=2 * N_DEV,
+        epochs=1,
+        max_traj_len=8,
+    )
+    ppo = PPO(env, cfg)
+    ts = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh, cfg.num_envs)
+    ts, metrics = ppo._train_iter(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
