@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import time
 
-NUM_ENVS = 4096
+NUM_ENVS = 32768
 ROLLOUT_LEN = 16
 BASELINE_TARGET = 10_000_000.0  # env steps/s north star (BASELINE.json)
 # v5e peak: 197 TFLOP/s bf16 on the MXU. The physics kernel is VPU fp32

@@ -115,7 +115,7 @@ def _dot(a, b):
 
 
 def _const(val, tb):
-    return jnp.full((1, tb), float(val), dtype=jnp.float32)
+    return jnp.full((1, *tb), float(val), dtype=jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +180,8 @@ def _build_substep(model: Model, dt: float, tb: int):
 
     def substep(qpos, qvel, ctrl, ctx):
         # ---------------- FK ----------------
-        xpos = [jnp.zeros((3, tb))]
-        xquat = [jnp.concatenate([jnp.ones((1, tb)), jnp.zeros((3, tb))])]
+        xpos = [jnp.zeros((3, *tb))]
+        xquat = [jnp.concatenate([jnp.ones((1, *tb)), jnp.zeros((3, *tb))])]
         for i in range(1, nb):
             p = parent[i]
             bp = body_pos[i]
@@ -222,8 +222,8 @@ def _build_substep(model: Model, dt: float, tb: int):
         S = []
         for kind, bi, k in dof_info:
             if kind == "free_lin":
-                rows = [jnp.zeros((1, tb))] * 6
-                rows[3 + k] = jnp.ones((1, tb))
+                rows = [jnp.zeros((1, *tb))] * 6
+                rows[3 + k] = jnp.ones((1, *tb))
                 S.append(jnp.concatenate(rows))
             elif kind == "free_ang":
                 rot = rmats[bi]
@@ -253,10 +253,10 @@ def _build_substep(model: Model, dt: float, tb: int):
                         anchor = xpos[bi]
                     S.append(jnp.concatenate([u, _cross(anchor, u)]))
                 else:
-                    S.append(jnp.concatenate([jnp.zeros((3, tb)), u]))
+                    S.append(jnp.concatenate([jnp.zeros((3, *tb)), u]))
 
         # ---------------- body velocities ----------------
-        cvel = [jnp.zeros((6, tb))]
+        cvel = [jnp.zeros((6, *tb))]
         for i in range(1, nb):
             v = cvel[parent[i]]
             adr, num = model.body_dof_adr[i], model.body_dof_num[i]
@@ -316,15 +316,15 @@ def _build_substep(model: Model, dt: float, tb: int):
                 row = [ib[r][0], ib[r][1], ib[r][2]]
                 for c in range(3):
                     s = skew[r][c]
-                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, tb)))
+                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, *tb)))
                 rows.append(jnp.concatenate(row))
             for r in range(3):
                 row = []
                 for c in range(3):
                     s = skew[c][r]  # transpose
-                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, tb)))
+                    row.append(m_b * s if not isinstance(s, float) else jnp.zeros((1, *tb)))
                 for c in range(3):
-                    row.append(m_b if r == c else jnp.zeros((1, tb)))
+                    row.append(m_b if r == c else jnp.zeros((1, *tb)))
                 rows.append(jnp.concatenate(row))
             inertias.append(rows)  # list of 6 (6,TB) rows
 
@@ -353,13 +353,13 @@ def _build_substep(model: Model, dt: float, tb: int):
         # ---------------- bias forces ----------------
         # a_i = a_parent + v_i x (S_d qd);  a_0 = -g
         g_block = jnp.concatenate(
-            [jnp.zeros((3, tb)), _const(-gravity[0], tb), _const(-gravity[1], tb), _const(-gravity[2], tb)]
+            [jnp.zeros((3, *tb)), _const(-gravity[0], tb), _const(-gravity[1], tb), _const(-gravity[2], tb)]
         )
         acc = [g_block]
         for i in range(1, nb):
             p = parent[i]
             adr, num = model.body_dof_adr[i], model.body_dof_num[i]
-            vj = jnp.zeros((6, tb))
+            vj = jnp.zeros((6, *tb))
             for d in range(adr, adr + num):
                 vj = vj + S[d] * qvel[d : d + 1]
             v = cvel[i]
@@ -427,7 +427,7 @@ def _build_substep(model: Model, dt: float, tb: int):
             for e in range(nv):
                 v = m_rows[d][e]
                 if v is None:
-                    v = jnp.zeros((1, tb))
+                    v = jnp.zeros((1, *tb))
                 if d == e:
                     v = v + armature[d] + dt * ctx["damping"][d : d + 1]
                 row.append(v)
@@ -485,7 +485,7 @@ def _build_substep(model: Model, dt: float, tb: int):
         for b in foot_bodies:
             for k in range(6):
                 rows = [
-                    S[d][k : k + 1] if anc[b, d] > 0.5 else jnp.zeros((1, tb))
+                    S[d][k : k + 1] if anc[b, d] > 0.5 else jnp.zeros((1, *tb))
                     for d in range(nv)
                 ]
                 basis[(b, k)] = jnp.concatenate(rows)
@@ -598,7 +598,7 @@ def _build_substep(model: Model, dt: float, tb: int):
             for key_i, w_i in coeffs[i]:
                 term = w_i * fi
                 w_basis[key_i] = term if w_basis[key_i] is None else w_basis[key_i] + term
-        qfrc_con = jnp.zeros((nv, tb))
+        qfrc_con = jnp.zeros((nv, *tb))
         for bk in bkeys:
             if w_basis[bk] is not None:
                 qfrc_con = qfrc_con + basis[bk] * w_basis[bk]
@@ -669,7 +669,7 @@ def _chol_solve_rows(m_rows, b, n, tb):
     l_cols = []
     for j in range(n):
         d = jnp.sqrt(jnp.maximum(r[j][j : j + 1], 1e-12))
-        parts = ([jnp.zeros((j, tb))] if j else []) + [r[i][j : j + 1] for i in range(j, n)]
+        parts = ([jnp.zeros((j, *tb))] if j else []) + [r[i][j : j + 1] for i in range(j, n)]
         col = jnp.concatenate(parts) / d
         for i in range(j + 1, n):
             r[i] = r[i] - col[i : i + 1] * col
@@ -716,10 +716,16 @@ def _cho_solve_rows(l_cols, b, n, tb):
 # ---------------------------------------------------------------------------
 
 
-def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, interpret: bool = False):
+def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False):
     """Build fn(qpos (nq,B), qvel (nv,B), target (nu,B), ctx blocks...) ->
     (qpos, qvel, qacc, act_torque, cforce (3nc,B), cdist (nc,B), cmask (nc,B),
-    cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel."""
+    cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel.
+
+    `tb` = (sublanes, lanes): each block covers sublanes*lanes envs, so the
+    per-env "scalar" (1, sub, lanes) ops use ALL 8 VPU sublanes instead of
+    1/8 of a (1, lanes) vector register — the round-1 layout left 7/8 of the
+    VPU idle on every scalar op."""
+    sub, lanes = tb
     substep, nc = _build_substep(model, dt, tb)
     nq, nv, nu, nb = model.nq, model.nv, model.nu, model.nbody
     t = _tables(model)
@@ -771,13 +777,13 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
             return one((qpos, qvel), None)
 
         init_extras = dict(
-            qacc=jnp.zeros((nv, tb)),
-            act_torque=jnp.zeros((nu, tb)),
-            cdist=jnp.full((nc, tb), 1e3),
-            cmask=jnp.zeros((nc, tb)),
-            cforce=jnp.zeros((3 * nc, tb)),
-            cpos_z=jnp.zeros((nc, tb)),
-            cpos=jnp.zeros((3 * nc, tb)),
+            qacc=jnp.zeros((nv, *tb)),
+            act_torque=jnp.zeros((nu, *tb)),
+            cdist=jnp.full((nc, *tb), 1e3),
+            cmask=jnp.zeros((nc, *tb)),
+            cforce=jnp.zeros((3 * nc, *tb)),
+            cpos_z=jnp.zeros((nc, *tb)),
+            cpos=jnp.zeros((3 * nc, *tb)),
         )
         (qpos, qvel), extras = jax.lax.fori_loop(
             0, frame_skip, body, ((qpos_ref[:], qvel_ref[:]), init_extras)
@@ -793,10 +799,14 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
 
     def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None):
         batch = qpos.shape[1]
-        grid = (batch // tb,)
+        ns = batch // lanes  # sublane-batch rows; env e = ns_row * lanes + lane
+        grid = (ns // sub,)
+
+        def fold(x):
+            return x.reshape(x.shape[0], ns, lanes)
 
         def spec(rows):
-            return pl.BlockSpec((rows, tb), lambda i: (0, i), memory_space=pltpu.VMEM)
+            return pl.BlockSpec((rows, sub, lanes), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
         in_specs = [
             spec(nq), spec(nv), spec(nu), spec(nu), spec(nu), spec(nu),
@@ -808,25 +818,19 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
             # sin(yaw) (nt,B), floor_z (1,B))
             in_specs += [spec(3 * nt), spec(3 * nt), spec(nt), spec(nt), spec(1)]
             args += list(terrain)
+        args = [fold(a) for a in args]
 
-        out_shapes = [
-            jax.ShapeDtypeStruct((nq, batch), jnp.float32),
-            jax.ShapeDtypeStruct((nv, batch), jnp.float32),
-            jax.ShapeDtypeStruct((nv, batch), jnp.float32),
-            jax.ShapeDtypeStruct((nu, batch), jnp.float32),
-            jax.ShapeDtypeStruct((3 * nc, batch), jnp.float32),
-            jax.ShapeDtypeStruct((nc, batch), jnp.float32),
-            jax.ShapeDtypeStruct((nc, batch), jnp.float32),
-            jax.ShapeDtypeStruct((3 * nc, batch), jnp.float32),
-        ]
-        return pl.pallas_call(
+        out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc]
+        out_shapes = [jax.ShapeDtypeStruct((r, ns, lanes), jnp.float32) for r in out_rows]
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=[spec(nq), spec(nv), spec(nv), spec(nu), spec(3 * nc), spec(nc), spec(nc), spec(3 * nc)],
+            out_specs=[spec(r) for r in out_rows],
             out_shape=out_shapes,
             interpret=interpret,
         )(*args)
+        return tuple(o.reshape(o.shape[0], batch) for o in outs)
 
     return run, nc
 
@@ -838,13 +842,17 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb: int = 256, i
 _KERNEL_CACHE: dict = {}
 
 
-def kernel_tile(batch: int, prefer: int = 256) -> int | None:
-    """Largest viable lane tile for this batch (None if incompatible)."""
-    for tb in (prefer, 128):
-        if batch % tb == 0:
-            return tb
+def kernel_tile(batch: int, prefer: int = 128) -> tuple[int, int] | None:
+    """Largest viable (sublanes, lanes) tile for this batch (None if
+    incompatible). Full 8-sublane tiles whenever the batch allows; lanes stay
+    at 128 because the (8, 256) working set (~20 MB) exceeds the 16 MB scoped
+    VMEM limit."""
+    for sub in (8, 4, 2, 1):
+        for lanes in (prefer, 256):
+            if batch % (sub * lanes) == 0:
+                return (sub, lanes)
     if batch <= 128:  # tiny batches (tests, probes): single-tile grid
-        return batch
+        return (1, batch)
     return None
 
 

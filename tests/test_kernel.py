@@ -18,7 +18,7 @@ from learninghumanoidwalking_tpu.physics.spec import lower
 
 @pytest.mark.slow
 def test_kernel_matches_batched_engine():
-    TB, B, FRAME_SKIP = 8, 8, 5
+    TB, B, FRAME_SKIP = (2, 4), 8, 5  # exercise the sublane-batched layout
     model = lower(jvrc_spec())
     run, nc = make_control_step(model, FRAME_SKIP, 0.001, tb=TB, interpret=True)
 
@@ -59,7 +59,8 @@ def test_kernel_terrain_matches_batched_engine():
     from learninghumanoidwalking_tpu.ops import substep_kernel as sk
     from learninghumanoidwalking_tpu.physics.engine import Terrain
 
-    TB = B = 8
+    B = 8
+    TB = (1, 8)  # must match kernel_tile(B) so pd_substeps_kernel hits the cache
     NT = 6
     model = lower(jvrc_spec(nterrain=NT))
     sk._KERNEL_CACHE[(id(model), 5, 0.001, TB)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
