@@ -39,6 +39,7 @@ class EnvState:
     steps: jnp.ndarray  # () int32 episode step counter
     iteration: jnp.ndarray  # () int32 training iteration (curriculum)
     key: jnp.ndarray  # PRNG key
+    motor: Any = None  # MotorState when the motor-dynamics hook is enabled
 
 
 class Env:

@@ -64,10 +64,10 @@ class HumanoidEnv(Env):
         rfoot = set(m.right_foot_geoms)
         self.lfoot_idx = m.body_names.index(self.LFOOT_BODY)
         self.rfoot_idx = m.body_names.index(self.RFOOT_BODY)
-        # static contact-slot -> foot masks (4 slots per foot geom)
+        # static contact-slot -> foot masks (engine.slots_per_geom per geom)
         slot_geoms = []
         for gi in m.foot_geoms:
-            slot_geoms += [gi] * 4
+            slot_geoms += [gi] * engine.slots_per_geom(m)
         self._lslot = jnp.asarray([1.0 if g in lfoot else 0.0 for g in slot_geoms])
         self._rslot = jnp.asarray([1.0 if g in rfoot else 0.0 for g in slot_geoms])
 
@@ -114,6 +114,21 @@ class HumanoidEnv(Env):
             if self.include_torque_obs:
                 scale_vec[5 + 2 * m.nu :] = float(s.motor_tau or 0.0) * mult
             self.obs_noise_scale = jnp.asarray(scale_vec)
+
+        # optional learned motor-dynamics hook (robot_interface.py:25-58,
+        # :510-533): per-joint nets over a 25-substep (qdot, cmd-tau) history.
+        # Default off, like every shipped reference env.
+        md_cfg = cfg.motor_dynamics
+        self.motor_enabled = bool(md_cfg and md_cfg.enable)
+        if self.motor_enabled:
+            from learninghumanoidwalking_tpu.robots import motor as motor_mod
+
+            if md_cfg.params_path:
+                self.motor_params = motor_mod.load_motor_params(str(md_cfg.params_path), m.nu)
+            else:
+                self.motor_params = motor_mod.init_motor_params(
+                    jax.random.PRNGKey(int(md_cfg.seed or 0)), m.nu
+                )
 
         self.init_noise = float(cfg.init_noise) if cfg.init_noise else 0.0
         # optional actuator randomizations (robot_base.py:5-59: pdrand_k
@@ -243,6 +258,11 @@ class HumanoidEnv(Env):
 
         if iteration is None:
             iteration = jnp.zeros((), dtype=jnp.int32)
+        motor = None
+        if self.motor_enabled:
+            from learninghumanoidwalking_tpu.robots.motor import init_motor_state
+
+            motor = init_motor_state(m.nu)
         return EnvState(
             physics=physics,
             dyn=dyn,
@@ -258,6 +278,7 @@ class HumanoidEnv(Env):
             steps=jnp.zeros((), dtype=jnp.int32),
             iteration=jnp.asarray(iteration, dtype=jnp.int32),
             key=key,
+            motor=motor,
         )
 
     def reset(self, key: jnp.ndarray, iteration=None) -> EnvState:
@@ -312,8 +333,23 @@ class HumanoidEnv(Env):
         m = self.model
         full_target = self._pre_step(state, action)
         terrain = self._terrain(state.task)
-        physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
+        if self.motor_enabled:
+            from learninghumanoidwalking_tpu.robots.motor import pd_substeps_motor
+
+            physics, motor = pd_substeps_motor(
+                m, state.dyn, state.physics, state.motor, self.motor_params,
+                full_target, self.frame_skip, self.sim_dt, terrain,
+            )
+            state = state.replace(motor=motor)
+        else:
+            physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
         return self._post_step(state, physics, action, full_target)
+
+    def render_markers(self, state: EnvState) -> dict | None:
+        """Per-frame overlay data for eval rendering (the analog of the
+        reference's MarkerDrawer viewer geoms, marker_drawer.py:7-72).
+        Subclasses with task targets/terrain override; None = no overlay."""
+        return None
 
     def _use_kernel(self, batch: int) -> bool:
         """Use the pallas mega-kernel on TPU backends (CPU has no Mosaic)."""
@@ -326,6 +362,12 @@ class HumanoidEnv(Env):
     def step_batch(self, states: EnvState, actions: jnp.ndarray) -> EnvState:
         """Batched step: batch-in-lanes physics, vmapped task/obs logic."""
         from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
+
+        if self.motor_enabled:
+            # motor-dynamics history threading lives in the single-env loop;
+            # the hook is an opt-in research path (reference ships no trained
+            # nets), so it takes the plain vmapped route
+            return jax.vmap(self.step)(states, actions)
 
         full_target = jax.vmap(self._pre_step)(states, actions)
         terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None

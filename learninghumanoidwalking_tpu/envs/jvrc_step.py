@@ -156,3 +156,24 @@ class JvrcStepEnv(HumanoidEnv):
             self._foot_site(physics, self.lfoot_idx)[2], self._foot_site(physics, self.rfoot_idx)[2]
         )
         return stepping.done(physics.xpos[self.root_idx][2], min_foot_z, selfcol)
+
+    MODE_NAMES = ("CURVED", "STANDING", "BACKWARD", "LATERAL", "FORWARD", "INPLACE")
+
+    def render_markers(self, state) -> dict:
+        """Footstep targets + terrain boxes + mode, world frame — the data
+        the reference's MarkerDrawer shows in the viewer
+        (marker_drawer.py:7-72; jvrc_step draws t1/t2 spheres)."""
+        import numpy as np
+
+        task = state.task
+        seq = np.asarray(task.sequence)
+        terrain = self._terrain(task)
+        return {
+            "mode": self.MODE_NAMES[int(task.mode)],
+            "targets": seq[np.asarray([int(task.t1), int(task.t2)])],  # (2, 4) x,y,z,theta
+            "sequence": seq[: int(task.seq_len)],
+            "terrain_pos": np.asarray(terrain.pos),
+            "terrain_size": np.asarray(terrain.size),
+            "terrain_yaw": np.asarray(terrain.yaw),
+            "floor_z": float(terrain.floor_z),
+        }

@@ -20,6 +20,15 @@ class WalkingTaskMixin:
     """Requires HumanoidEnv attributes; call _setup_walking() after _finalize()."""
 
     num_external_obs = 8  # clock(2) + mode one-hot(3) + mode_ref(3)
+    MODE_NAMES = ("FORWARD", "INPLACE", "STANDING")  # walking.py:21 codes
+
+    def render_markers(self, state) -> dict:
+        """Mode + velocity reference overlay (reference draws these as viewer
+        text/arrows via MarkerDrawer, h1_walk.py:150-160)."""
+        return {
+            "mode": self.MODE_NAMES[int(state.task.mode)],
+            "mode_ref": np.asarray(state.task.mode_ref),
+        }
 
     def _setup_walking(self) -> None:
         task_cfg = self.cfg.task

@@ -165,7 +165,11 @@ def _build_substep(model: Model, dt: float, tb: int):
     for i in range(1, nb):
         children[parent[i]].append(i)
 
-    # contact slots: (geom, body, corner_local (3,)) static
+    # contact slots: (body, corner_local (3,), mu, kind) static. Flat models:
+    # 4 "flat" slots per geom (corner vs z=0 plane). Terrain models: 4
+    # "floor" slots (corner vs floor plane, static z frame) then 4 "box"
+    # slots (corner vs terrain-box SDF, tilted frame) per geom — mirroring
+    # engine.slots_per_geom / detect_contacts.
     slots = []
     for gi in model.foot_geoms:
         bi = model.geom_body[gi]
@@ -173,9 +177,17 @@ def _build_substep(model: Model, dt: float, tb: int):
         grot = _quat_to_mat_np(np.asarray(model.geom_quat)[gi])
         size = np.asarray(model.geom_size)[gi]
         mu = float(np.asarray(model.geom_friction)[gi])
-        for corner in eng._BOTTOM_CORNERS:
-            local = gpos + grot @ (corner * size)
-            slots.append((bi, local.astype(np.float32), mu))
+        corner_locals = [
+            (gpos + grot @ (corner * size)).astype(np.float32) for corner in eng._BOTTOM_CORNERS
+        ]
+        if model.nterrain == 0:
+            for local in corner_locals:
+                slots.append((bi, local, mu, "flat"))
+        else:
+            for local in corner_locals:
+                slots.append((bi, local, mu, "floor"))
+            for local in corner_locals:
+                slots.append((bi, local, mu, "box"))
     nc = len(slots)
 
     def substep(qpos, qvel, ctrl, ctx):
@@ -437,36 +449,78 @@ def _build_substep(model: Model, dt: float, tb: int):
 
         # ---------------- contacts ----------------
         nt = model.nterrain
-        cpos, cdist = [], []
-        for bi, local, mu in slots:
+        cpos, cdist, cframes = [], [], []
+        for bi, local, mu, kind in slots:
             p = xpos[bi] + _matvec_np_local(rmats[bi], local)
             cpos.append(p)
-            if nt == 0:
+            if kind == "flat":
                 cdist.append(p[2:3])  # flat floor at z=0
-            else:
-                # support-height query: max of floor and terrain-box top faces
-                # whose yaw-rotated footprint contains the corner (mirrors
-                # engine.support_height)
+                cframes.append(None)  # static (z, x, y) frame
+            elif kind == "floor":
+                cdist.append(p[2:3] - ctx["floor_z"])
+                cframes.append(None)  # static (z, x, y) frame
+            else:  # "box": terrain-box SDF (mirrors engine.terrain_contact)
+                # among all penetrated boxes the shallowest penetration wins
+                # and supplies the contact normal — side faces (risers)
+                # collide; boxes resting on/below the floor are columns
+                # (no bottom face).
                 tpos = ctx["terrain_pos"]  # (3nt, TB)
                 tsize = ctx["terrain_size"]  # (3nt, TB)
                 tyaw_c = ctx["terrain_cos"]  # (nt, TB)
                 tyaw_s = ctx["terrain_sin"]  # (nt, TB)
-                support = ctx["floor_z"]  # (1, TB)
                 px, py, pz = p[0:1], p[1:2], p[2:3]
+                best = jnp.full((1, *tb), -1e9)
+                bnx = jnp.zeros((1, *tb))
+                bny = jnp.zeros((1, *tb))
+                bnz = jnp.ones((1, *tb))
                 for t_i in range(nt):
                     dx = px - tpos[3 * t_i : 3 * t_i + 1]
                     dy = py - tpos[3 * t_i + 1 : 3 * t_i + 2]
+                    lz = pz - tpos[3 * t_i + 2 : 3 * t_i + 3]
                     c_ = tyaw_c[t_i : t_i + 1]
                     s_ = tyaw_s[t_i : t_i + 1]
                     lx = c_ * dx + s_ * dy
                     ly = -s_ * dx + c_ * dy
-                    inside = jnp.logical_and(
-                        jnp.abs(lx) <= tsize[3 * t_i : 3 * t_i + 1],
-                        jnp.abs(ly) <= tsize[3 * t_i + 1 : 3 * t_i + 2],
-                    )
-                    top = tpos[3 * t_i + 2 : 3 * t_i + 3] + tsize[3 * t_i + 2 : 3 * t_i + 3]
-                    support = jnp.maximum(support, jnp.where(inside, top, -1e9))
-                cdist.append(pz - support)
+                    sx_half = tsize[3 * t_i : 3 * t_i + 1]
+                    sy_half = tsize[3 * t_i + 1 : 3 * t_i + 2]
+                    sz_half = tsize[3 * t_i + 2 : 3 * t_i + 3]
+                    ex = jnp.abs(lx) - sx_half
+                    ey = jnp.abs(ly) - sy_half
+                    resting = (tpos[3 * t_i + 2 : 3 * t_i + 3] - sz_half) <= ctx["floor_z"] + 1e-4
+                    ez = jnp.where(resting, lz - sz_half, jnp.abs(lz) - sz_half)
+                    sgz = jnp.where(resting, 1.0, jnp.sign(lz))
+                    inside = jnp.logical_and(jnp.logical_and(ex < 0.0, ey < 0.0), ez < 0.0)
+                    # outward normal along the least-penetrated axis
+                    pen = jnp.maximum(jnp.maximum(ex, ey), ez)
+                    is_z = jnp.logical_and(ez >= ex, ez >= ey)
+                    is_x = ex >= ey
+                    sgx, sgy = jnp.sign(lx), jnp.sign(ly)
+                    nx_i = jnp.where(is_z, 0.0, jnp.where(is_x, sgx * c_, -sgy * s_))
+                    ny_i = jnp.where(is_z, 0.0, jnp.where(is_x, sgx * s_, sgy * c_))
+                    nz_i = jnp.where(is_z, sgz, 0.0)
+                    score = jnp.where(inside, pen, -1e9)
+                    take = score > best
+                    bnx = jnp.where(take, nx_i, bnx)
+                    bny = jnp.where(take, ny_i, bny)
+                    bnz = jnp.where(take, nz_i, bnz)
+                    best = jnp.maximum(score, best)
+                any_pen = best > -1e8
+                cdist.append(jnp.where(any_pen, best, 1e3))
+                n0 = jnp.where(any_pen, bnx, 0.0)
+                n1 = jnp.where(any_pen, bny, 0.0)
+                n2 = jnp.where(any_pen, bnz, 1.0)
+                # tangent frame (engine.frame_from_normal): t1 horizontal
+                h2 = n0 * n0 + n1 * n1
+                h = jnp.sqrt(jnp.maximum(h2, 1e-12))
+                horiz = h2 > 0.25
+                t10 = jnp.where(horiz, -n1 / h, 1.0)
+                t11 = jnp.where(horiz, n0 / h, 0.0)
+                t12 = jnp.zeros((1, *tb))
+                # t2 = n x t1
+                t20 = n1 * t12 - n2 * t11
+                t21 = n2 * t10 - n0 * t12
+                t22 = n0 * t11 - n1 * t10
+                cframes.append(((n0, n1, n2), (t10, t11, t12), (t20, t21, t22)))
         cmask = [jnp.where(d < eng.CONTACT_MARGIN, 1.0, 0.0) for d in cdist]
 
         # Contact jacobians via a per-foot-body BASIS: the corner jacobian for
@@ -478,7 +532,7 @@ def _build_substep(model: Model, dt: float, tb: int):
         # 12x12 Gram, instead of 3*nc=24 full (fwd+bwd) M-solves — the
         # dominant cost of the kernel in round 1 (PERFORMANCE.md ladder).
         foot_bodies = []
-        for bi, _, _ in slots:
+        for bi, _, _, _ in slots:
             if bi not in foot_bodies:
                 foot_bodies.append(bi)
         basis = {}  # (body, k) -> (nv,TB); k indexes S rows: 0..2 ang, 3..5 lin
@@ -490,10 +544,10 @@ def _build_substep(model: Model, dt: float, tb: int):
                 ]
                 basis[(b, k)] = jnp.concatenate(rows)
 
-        def slot_coeffs(bi, p):
-            """Per-frame 3-term basis expansion of the contact rows.
-            cross(p, sa) = (py*saz - pz*say, pz*sax - px*saz, px*say - py*sax);
-            frame order is (z, x, y) = (normal, t1, t2)."""
+        def slot_coeffs_static(bi, p):
+            """Flat-floor fast path: 3-term basis expansion of the contact
+            rows for the static (z, x, y) frame.
+            cross(p, sa) = (py*saz - pz*say, pz*sax - px*saz, px*say - py*sax)."""
             px, py, pz = p[0:1], p[1:2], p[2:3]
             return (
                 (((bi, 5), 1.0), ((bi, 1), -px), ((bi, 0), py)),   # z row
@@ -501,9 +555,26 @@ def _build_substep(model: Model, dt: float, tb: int):
                 (((bi, 4), 1.0), ((bi, 0), -pz), ((bi, 2), px)),   # y row
             )
 
+        def slot_coeffs_frame(bi, p, e):
+            """General frame direction e: row = e . S_lin - (e x p) . S_ang,
+            a 6-term basis expansion (keys 0..2 = SA_xyz, 3..5 = SL_xyz)."""
+            px, py, pz = p[0:1], p[1:2], p[2:3]
+            e0, e1, e2 = e
+            exp0 = e1 * pz - e2 * py
+            exp1 = e2 * px - e0 * pz
+            exp2 = e0 * py - e1 * px
+            return (
+                ((bi, 3), e0), ((bi, 4), e1), ((bi, 5), e2),
+                ((bi, 0), -exp0), ((bi, 1), -exp1), ((bi, 2), -exp2),
+            )
+
         coeffs = []  # flat list over 3*nc contact rows
-        for (bi, local, mu), p in zip(slots, cpos):
-            coeffs.extend(slot_coeffs(bi, p))
+        for (bi, local, mu, kind), p, frame in zip(slots, cpos, cframes):
+            if frame is None:
+                coeffs.extend(slot_coeffs_static(bi, p))
+            else:
+                for e in frame:
+                    coeffs.append(slot_coeffs_frame(bi, p, e))
 
         # Y = L^-1 B (forward substitutions only) and Gram G = Y^T Y
         yb = {bk: _forward_rows(l_rows, blk, nv) for bk, blk in basis.items()}
@@ -629,6 +700,13 @@ def _build_substep(model: Model, dt: float, tb: int):
             parts.append(qpos[jq0 : jq0 + njq] + dt * qvel_new[jd0 : jd0 + njq])
         qpos_new = jnp.concatenate(parts)
 
+        z_normal = [jnp.zeros((1, *tb)), jnp.zeros((1, *tb)), jnp.ones((1, *tb))]
+        cnormal = jnp.concatenate(
+            [
+                jnp.concatenate(z_normal if fr is None else list(fr[0]))
+                for fr in cframes
+            ]
+        )
         extras = dict(
             qacc=qacc,
             act_torque=act_force,
@@ -637,6 +715,7 @@ def _build_substep(model: Model, dt: float, tb: int):
             cforce=fvec,
             cpos_z=jnp.concatenate([p[2:3] for p in cpos]),
             cpos=jnp.concatenate(cpos),
+            cnormal=cnormal,
         )
         return qpos_new, qvel_new, extras
 
@@ -757,7 +836,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             outs = refs[16:]
         else:
             outs = refs[11:]
-        (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out) = outs
+        (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out, cnormal_out) = outs
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
 
@@ -784,6 +863,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             cforce=jnp.zeros((3 * nc, *tb)),
             cpos_z=jnp.zeros((nc, *tb)),
             cpos=jnp.zeros((3 * nc, *tb)),
+            cnormal=jnp.zeros((3 * nc, *tb)),
         )
         (qpos, qvel), extras = jax.lax.fori_loop(
             0, frame_skip, body, ((qpos_ref[:], qvel_ref[:]), init_extras)
@@ -796,6 +876,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         cdist_out[:] = extras["cdist"]
         cmask_out[:] = extras["cmask"]
         cpos_out[:] = extras["cpos"]
+        cnormal_out[:] = extras["cnormal"]
 
     def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None):
         batch = qpos.shape[1]
@@ -820,7 +901,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             args += list(terrain)
         args = [fold(a) for a in args]
 
-        out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc]
+        out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc, 3 * nc]
         out_shapes = [jax.ShapeDtypeStruct((r, ns, lanes), jnp.float32) for r in out_rows]
         outs = pl.pallas_call(
             kernel,
@@ -903,7 +984,7 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
         terrain=terrain_blocks,
     )
-    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos = out
+    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal = out
 
     # FK caches for observations/rewards
     xpos, xquat = batched.fk_b(model, qpos)
@@ -912,13 +993,22 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     anc = jnp.asarray(_tables(model)["anc"])
     cvel = jnp.einsum("nv,vsb->nsb", anc, s_mat * qvel[:, None])
 
-    frame = jnp.broadcast_to(jnp.eye(3)[jnp.array([2, 0, 1])][None, None], (batch, nc, 3, 3))
+    if model.nterrain > 0:
+        # rebuild (n, t1, t2) frames from the kernel's contact normals
+        normals = cnormal.reshape(nc, 3, batch)  # (nc, 3, B)
+        frames = jnp.stack([batched._frame_from_normal_b(normals[c]) for c in range(nc)])
+        frame = jnp.transpose(frames, (3, 0, 1, 2))  # (B, nc, 3, 3)
+    else:
+        frame = jnp.broadcast_to(jnp.eye(3)[jnp.array([2, 0, 1])][None, None], (batch, nc, 3, 3))
     contact = Contact(
         pos=jnp.transpose(cpos.reshape(nc, 3, batch), (2, 0, 1)),
         frame=frame,
         dist=jnp.swapaxes(cdist, 0, 1),
         geom=jnp.broadcast_to(
-            jnp.asarray(np.repeat(list(model.foot_geoms), 4), dtype=jnp.int32)[None], (batch, nc)
+            jnp.asarray(
+                np.repeat(list(model.foot_geoms), eng.slots_per_geom(model)), dtype=jnp.int32
+            )[None],
+            (batch, nc),
         ),
         force=jnp.transpose(cforce.reshape(nc, 3, batch), (2, 0, 1)),
         mask=jnp.swapaxes(cmask, 0, 1),

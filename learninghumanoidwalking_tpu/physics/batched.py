@@ -338,9 +338,70 @@ def _support_height_b(terrain_t: Terrain | None, x, y):
     return jnp.maximum(terrain_t.floor_z, jnp.max(tops, axis=-2))
 
 
+def _terrain_contact_b(terrain_t: Terrain, p):
+    """Trailing-batch twin of engine.terrain_contact: p (3, B) ->
+    (dist (B,), normal (3, B)). Box-only SDF (the floor plane has its own
+    contact slot): side faces (risers) collide; boxes resting on/below the
+    floor are treated as columns (no bottom face)."""
+    c = jnp.cos(terrain_t.yaw)
+    s = jnp.sin(terrain_t.yaw)  # (nt, B)
+    dx = p[0][None] - terrain_t.pos[:, 0]
+    dy = p[1][None] - terrain_t.pos[:, 1]
+    lz = p[2][None] - terrain_t.pos[:, 2]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    sz_half = terrain_t.size[:, 2]
+    ex = jnp.abs(lx) - terrain_t.size[:, 0]
+    ey = jnp.abs(ly) - terrain_t.size[:, 1]
+    resting = (terrain_t.pos[:, 2] - sz_half) <= terrain_t.floor_z[None] + 1e-4
+    ez = jnp.where(resting, lz - sz_half, jnp.abs(lz) - sz_half)
+    sgz = jnp.where(resting, 1.0, jnp.sign(lz))
+    inside = (ex < 0.0) & (ey < 0.0) & (ez < 0.0)
+    pen = jnp.maximum(jnp.maximum(ex, ey), ez)
+    is_z = (ez >= ex) & (ez >= ey)
+    is_x = ex >= ey
+    sx_, sy_ = jnp.sign(lx), jnp.sign(ly)
+    nx = jnp.where(is_z, 0.0, jnp.where(is_x, sx_ * c, -sy_ * s))
+    ny = jnp.where(is_z, 0.0, jnp.where(is_x, sx_ * s, sy_ * c))
+    nz = jnp.where(is_z, sgz, 0.0)
+
+    any_pen = jnp.any(inside, axis=0)  # (B,)
+    score = jnp.where(inside, pen, -1e9)
+    best = jnp.max(score, axis=0)
+    sel = ((score == best[None]) & inside).astype(p.dtype)
+    sel = sel / jnp.maximum(jnp.sum(sel, axis=0, keepdims=True), 1.0)
+    n = jnp.stack([jnp.sum(sel * nx, 0), jnp.sum(sel * ny, 0), jnp.sum(sel * nz, 0)])
+    n = n / jnp.maximum(jnp.sqrt(jnp.sum(n * n, axis=0, keepdims=True)), 1e-6)
+    z_up = jnp.array([0.0, 0.0, 1.0])[:, None]
+    normal = jnp.where(any_pen[None], n, z_up)
+    dist = jnp.where(any_pen, best, 1e3)
+    return dist, normal
+
+
+def _frame_from_normal_b(n):
+    """(3, B) unit normal -> frame rows (3, 3, B): (n, t1, t2). For n=+z this
+    is the static (z, x, y) frame (see engine.frame_from_normal)."""
+    h2 = n[0] * n[0] + n[1] * n[1]
+    h = jnp.sqrt(jnp.maximum(h2, 1e-12))
+    horiz = h2 > 0.25
+    t1 = jnp.stack(
+        [
+            jnp.where(horiz, -n[1] / h, 1.0),
+            jnp.where(horiz, n[0] / h, 0.0),
+            jnp.zeros_like(h),
+        ]
+    )
+    t2 = _cross(n, t1)
+    return jnp.stack([n, t1, t2])
+
+
 def detect_contacts_b(model: Model, xpos, xquat, rmats, terrain_t):
-    """-> (cpos (nc, 3, B), dist (nc, B), mask (nc, B))."""
-    all_pos, all_dist = [], []
+    """-> (cpos (nc, 3, B), dist (nc, B), mask (nc, B), frame (nc, 3, 3, B)).
+
+    Terrain models emit TWO slots per corner — floor plane (static z frame)
+    then terrain-box SDF — mirroring engine.detect_contacts."""
+    batch = xpos.shape[2:]
+    all_pos, all_dist, all_frame = [], [], []
     for gi in model.foot_geoms:
         bi = model.geom_body[gi]
         gpos_l = np.asarray(model.geom_pos)[gi]
@@ -356,25 +417,41 @@ def detect_contacts_b(model: Model, xpos, xquat, rmats, terrain_t):
         corners_l = _BOTTOM * size[None, :]  # (4, 3)
         # world corners: (4, 3, B)
         cw = gpos[None] + jnp.einsum("ijb,cj->cib", rot_g, jnp.asarray(corners_l))
-        support = _support_height_b(terrain_t, cw[:, 0], cw[:, 1])
-        dist = cw[:, 2] - support
-        all_pos.append(cw)
-        all_dist.append(dist)
+        z_frame = jnp.broadcast_to(
+            jnp.eye(3)[np.array([2, 0, 1])][None, :, :, None], (4, 3, 3) + batch
+        )
+        if terrain_t is None:
+            all_pos.append(cw)
+            all_dist.append(cw[:, 2])
+            all_frame.append(z_frame)
+        else:
+            floor_dist = cw[:, 2] - terrain_t.floor_z[None]
+            dists, frames = [], []
+            for ci in range(4):
+                d, n = _terrain_contact_b(terrain_t, cw[ci])
+                dists.append(d)
+                frames.append(_frame_from_normal_b(n))
+            all_pos.append(jnp.concatenate([cw, cw]))
+            all_dist.append(jnp.concatenate([floor_dist, jnp.stack(dists)]))
+            all_frame.append(jnp.concatenate([z_frame, jnp.stack(frames)]))
     cpos = jnp.concatenate(all_pos)  # (nc, 3, B)
     dist = jnp.concatenate(all_dist)  # (nc, B)
+    frame = jnp.concatenate(all_frame)  # (nc, 3, 3, B)
     mask = (dist < eng.CONTACT_MARGIN).astype(cpos.dtype)
-    return cpos, dist, mask
+    return cpos, dist, mask, frame
 
 
-def contact_jacobian_b(model: Model, jac, cpos):
-    """-> Jc (nc, 3, nv, B): rows are (normal=z, t1=x, t2=y) point velocities."""
+def contact_jacobian_b(model: Model, jac, cpos, cframe):
+    """-> Jc (nc, 3, nv, B): contact-point velocities in the contact frame
+    rows (normal, t1, t2)."""
+    spg = eng.slots_per_geom(model)
     blocks = []
     slot = 0
     for gi in model.foot_geoms:
         bi = model.geom_body[gi]
         jb = jac[bi]  # (6, nv, B)
         ang, lin = jb[:3], jb[3:]
-        for c in range(4):
+        for c in range(spg):
             p = cpos[slot]  # (3, B)
             # v_point = lin + ang x p  per dof: lin[:, v] - p x ang[:, v]
             jp = lin - jnp.stack(
@@ -384,13 +461,12 @@ def contact_jacobian_b(model: Model, jac, cpos):
                     p[0] * ang[1] - p[1] * ang[0],
                 ]
             )
-            # frame rows: normal = z, tangents = x, y
-            blocks.append(jnp.stack([jp[2], jp[0], jp[1]]))
+            blocks.append(jnp.einsum("fib,ivb->fvb", cframe[slot], jp))
             slot += 1
     return jnp.stack(blocks)  # (nc, 3, nv, B)
 
 
-def constraint_solve_b(model: Model, qvel, jac, chol, qacc_smooth, cpos, dist, mask):
+def constraint_solve_b(model: Model, qvel, jac, chol, qacc_smooth, cpos, dist, mask, cframe):
     """Soft-contact solve, trailing batch. Returns (qacc (nv,B), force (nc,3,B)).
 
     Instead of many Jacobi sweeps, uses the exact (Cholesky) solve of the
@@ -402,7 +478,7 @@ def constraint_solve_b(model: Model, qvel, jac, chol, qacc_smooth, cpos, dist, m
     if nc == 0:
         return qacc_smooth, jnp.zeros((0, 3) + qvel.shape[1:])
 
-    jc = contact_jacobian_b(model, jac, cpos)  # (nc, 3, nv, B)
+    jc = contact_jacobian_b(model, jac, cpos, cframe)  # (nc, 3, nv, B)
     jc_flat = jc.reshape(3 * nc, model.nv, -1)  # (3nc, nv, B)
     minv_jt = _cho_solve_b(chol, jc_flat.transpose(1, 0, 2))  # (nv, 3nc, B)
     a_mat = jnp.einsum("ivb,vjb->ijb", jc_flat, minv_jt)  # (3nc, 3nc, B)
@@ -429,7 +505,10 @@ def constraint_solve_b(model: Model, qvel, jac, chol, qacc_smooth, cpos, dist, m
 
     b_vec = (aref.reshape(3 * nc, -1) - jnp.einsum("ivb,vb->ib", jc_flat, qacc_smooth)) * mask3
 
-    mu = np.repeat([float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms], 4).astype(np.float32)
+    mu = np.repeat(
+        [float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms],
+        eng.slots_per_geom(model),
+    ).astype(np.float32)
     mu = jnp.asarray(mu)[:, None]
 
     chol_a = cholesky_outer(a_mat)  # (3nc, 3nc, B)
@@ -479,20 +558,20 @@ def integrate_b(model: Model, qpos, qvel, dt):
 
 def step_b(model: Model, params_t: DynParams, qpos, qvel, ctrl, dt, terrain_t=None):
     """One substep, trailing batch. Returns (qpos, qvel, qacc, act_force,
-    cpos, dist, mask, force, xpos, xquat) — all trailing-batch."""
+    cpos, dist, mask, force, frame) — all trailing-batch."""
     xpos, xquat = fk_b(model, qpos)
     rmats = _quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)  # (nb,3,3,B)
     jac, chol, qacc_smooth, act_force, s_mat, cvel = smooth_dynamics_b(
         model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt
     )
-    cpos, dist, mask = detect_contacts_b(model, xpos, xquat, rmats, terrain_t)
-    qacc, force = constraint_solve_b(model, qvel, jac, chol, qacc_smooth, cpos, dist, mask)
+    cpos, dist, mask, cframe = detect_contacts_b(model, xpos, xquat, rmats, terrain_t)
+    qacc, force = constraint_solve_b(model, qvel, jac, chol, qacc_smooth, cpos, dist, mask, cframe)
     qvel = qvel + dt * qacc
     # runaway guard: contact penetration -> force -> velocity feedback can
     # overflow f32 within one control step; clamp far above physical speeds
     qvel = jnp.clip(qvel, -1e4, 1e4)
     qpos = integrate_b(model, qpos, qvel, dt)
-    return qpos, qvel, qacc, act_force, cpos, dist, mask, force
+    return qpos, qvel, qacc, act_force, cpos, dist, mask, force, cframe
 
 
 # --------------------------------------------------------------------------
@@ -564,7 +643,7 @@ def pd_substeps_batched(
         return (qpos, qvel), out[2:]
 
     (qpos, qvel), tail = jax.lax.scan(substep, (qpos, qvel), None, length=frame_skip)
-    qacc, act_force, cpos, dist, mask, force = [jax.tree.map(lambda x: x[-1], t) for t in tail]
+    qacc, act_force, cpos, dist, mask, force, cframe = [jax.tree.map(lambda x: x[-1], t) for t in tail]
 
     # rebuild leading-batch state with fresh FK caches
     xpos, xquat = fk_b(model, qpos)
@@ -575,13 +654,15 @@ def pd_substeps_batched(
 
     batch = qpos.shape[1]
     ncon = model.ncon
-    frame = jnp.broadcast_to(jnp.eye(3)[jnp.array([2, 0, 1])][None, :, :], (ncon, 3, 3))
     contact = Contact(
         pos=jnp.transpose(cpos, (2, 0, 1)),
-        frame=jnp.broadcast_to(frame[None], (batch, ncon, 3, 3)),
+        frame=jnp.transpose(cframe, (3, 0, 1, 2)),
         dist=_t2(dist),
         geom=jnp.broadcast_to(
-            jnp.asarray(np.repeat([gi for gi in model.foot_geoms], 4), dtype=jnp.int32)[None], (batch, ncon)
+            jnp.asarray(
+                np.repeat([gi for gi in model.foot_geoms], eng.slots_per_geom(model)), dtype=jnp.int32
+            )[None],
+            (batch, ncon),
         ),
         force=jnp.transpose(force, (2, 0, 1)),
         mask=_t2(mask),

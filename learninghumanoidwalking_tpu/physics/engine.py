@@ -62,6 +62,13 @@ _BOX_CORNERS = np.array(
 # bottom face except when the foot is flipped >90 deg, which the tasks
 # terminate long before. Using a static corner set avoids per-substep TPU
 # argsorts and keeps the contact system at 4 slots per foot.
+#
+# Known limitation vs MuJoCo's full box-box manifold: contacts are only
+# generated AT the foot's corners, so a terrain-box EDGE pressing into the
+# middle of the sole (foot overhanging a stone edge) produces no contact
+# point there. The stepping task targets stone centers (reach radius 0.20 m
+# vs stone half-length 0.15 m, stepping_task.py:225-240), where all corners
+# land on the stone and the case does not bind.
 _BOTTOM_CORNERS = np.array(
     [[sx, sy, -1.0] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)],
     dtype=np.float32,
@@ -341,7 +348,8 @@ def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
     """Support surface height under world xy: max of the floor plane and the
     top faces of terrain boxes whose yaw-rotated footprint contains the point
     (encodes the reference's 20 repositionable terrain boxes,
-    stepping_task.py:320-334; box sides are not collidable)."""
+    stepping_task.py:320-334). Used for the non-penetrating distance report;
+    penetrating contacts use the full box SDF (terrain_contact)."""
     if terrain is None:
         return jnp.zeros(())
     c, s = jnp.cos(terrain.yaw), jnp.sin(terrain.yaw)
@@ -354,24 +362,104 @@ def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(terrain.floor_z, jnp.max(tops))
 
 
+def terrain_contact(terrain: Terrain, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Point-vs-terrain-BOX contact query: (signed distance, outward unit
+    normal), excluding the floor plane (which gets its own contact slot —
+    see detect_contacts).
+
+    Full-box collision: a point inside a terrain box is pushed out through
+    its nearest face — top faces AND side faces (risers), matching MuJoCo's
+    box geoms for the stepping stones
+    (/root/reference/tasks/stepping_task.py:320-334). Among all penetrated
+    boxes the shallowest penetration wins (cheapest push-out). Boxes whose
+    bottom face rests at or below the floor plane are treated as COLUMNS
+    (no bottom face): a box standing on the floor cannot push a foot down
+    through it — in MuJoCo that face is unreachable because the floor keeps
+    bodies out; with a signed-distance query it must be removed explicitly.
+    """
+    c, s = jnp.cos(terrain.yaw), jnp.sin(terrain.yaw)
+    dx = p[0] - terrain.pos[:, 0]
+    dy = p[1] - terrain.pos[:, 1]
+    lx = c * dx + s * dy
+    ly = -s * dx + c * dy
+    lz = p[2] - terrain.pos[:, 2]
+    sz_half = terrain.size[:, 2]
+    ex = jnp.abs(lx) - terrain.size[:, 0]
+    ey = jnp.abs(ly) - terrain.size[:, 1]
+    resting = (terrain.pos[:, 2] - sz_half) <= terrain.floor_z + 1e-4
+    ez = jnp.where(resting, lz - sz_half, jnp.abs(lz) - sz_half)
+    sgz = jnp.where(resting, 1.0, jnp.sign(lz))
+    inside = (ex < 0.0) & (ey < 0.0) & (ez < 0.0)
+    pen = jnp.maximum(jnp.maximum(ex, ey), ez)  # negative inside
+    # outward normal along the least-penetrated axis (ties prefer the top)
+    is_z = (ez >= ex) & (ez >= ey)
+    is_x = ex >= ey
+    sx_, sy_ = jnp.sign(lx), jnp.sign(ly)
+    nx = jnp.where(is_z, 0.0, jnp.where(is_x, sx_ * c, -sy_ * s))
+    ny = jnp.where(is_z, 0.0, jnp.where(is_x, sx_ * s, sy_ * c))
+    nz = jnp.where(is_z, sgz, 0.0)
+    box_n = jnp.stack([nx, ny, nz], axis=1)  # (nt, 3)
+
+    pen_mask = inside
+    any_pen = jnp.any(pen_mask)
+    score = jnp.where(pen_mask, pen, -1e9)
+    best = jnp.max(score)
+    sel = ((score == best) & pen_mask).astype(p.dtype)
+    sel = sel / jnp.maximum(jnp.sum(sel), 1.0)
+    n_pen = box_n.T @ sel
+    n_pen = n_pen / jnp.maximum(jnp.linalg.norm(n_pen), 1e-6)
+    z_up = jnp.array([0.0, 0.0, 1.0])
+    normal = jnp.where(any_pen, n_pen, z_up)
+    dist = jnp.where(any_pen, best, 1e3)
+    return dist, normal
+
+
+def frame_from_normal(n: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3) contact frame with rows (normal, t1, t2) from a unit normal.
+
+    For n = +z this reproduces the static (z, x, y) frame the flat-floor
+    path uses, so flat-ground behavior is unchanged."""
+    h2 = n[0] * n[0] + n[1] * n[1]
+    h = jnp.sqrt(jnp.maximum(h2, 1e-12))
+    t1 = jnp.where(h2 > 0.25, jnp.stack([-n[1] / h, n[0] / h, jnp.zeros(())]), jnp.array([1.0, 0.0, 0.0]))
+    t2 = jnp.cross(n, t1)
+    return jnp.stack([n, t1, t2])
+
+
+def slots_per_geom(model: Model) -> int:
+    """Contact slots per foot geom: 4 bottom corners vs the floor plane,
+    plus (terrain models only) 4 corner-vs-box-SDF slots. Two slots per
+    corner mirror MuJoCo emitting SEPARATE plane-box and box-box contacts:
+    a foot can be held up by the floor AND pushed back by a riser at once."""
+    return 4 if model.nterrain == 0 else 8
+
+
 def _foot_floor_contacts(
     model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, gi: int, terrain: Terrain | None
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Bottom-face corners of foot box `gi` vs the support surface."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Contact slots for foot box `gi`: (pos (S,3), dist (S,), frame (S,3,3))
+    with S = slots_per_geom. Slots 0-3: corners vs floor plane (static z-up
+    frame); slots 4-7 (terrain only): corners vs terrain-box SDF."""
     pos, quat = geom_world_pose(model, xpos, xquat, gi)
     rot = maths.quat_to_mat(quat)
     corners = pos[None, :] + (_BOTTOM_CORNERS * model.geom_size[gi][None, :]) @ rot.T  # (4,3)
+    z_frame = jnp.tile(jnp.eye(3)[jnp.array([2, 0, 1])][None], (4, 1, 1))
     if terrain is None:
-        dist = corners[:, 2]
-    else:
-        dist = corners[:, 2] - jax.vmap(lambda c: support_height(terrain, c[:2]))(corners)
-    return corners, dist
+        return corners, corners[:, 2], z_frame
+    floor_dist = corners[:, 2] - terrain.floor_z
+    box_dist, normal = jax.vmap(lambda c: terrain_contact(terrain, c))(corners)
+    box_frame = jax.vmap(frame_from_normal)(normal)
+    return (
+        jnp.concatenate([corners, corners]),
+        jnp.concatenate([floor_dist, box_dist]),
+        jnp.concatenate([z_frame, box_frame]),
+    )
 
 
 def detect_contacts(
     model: Model, xpos: jnp.ndarray, xquat: jnp.ndarray, terrain: Terrain | None
 ) -> Contact:
-    """Fill the fixed-size contact buffer (foot boxes vs support surface)."""
+    """Fill the fixed-size contact buffer (foot boxes vs floor/terrain)."""
     if model.ncon == 0:
         return Contact(
             pos=jnp.zeros((0, 3)),
@@ -381,17 +469,19 @@ def detect_contacts(
             force=jnp.zeros((0, 3)),
             mask=jnp.zeros((0,)),
         )
-    all_pos, all_dist, all_geom = [], [], []
+    spg = slots_per_geom(model)
+    all_pos, all_dist, all_geom, all_frame = [], [], [], []
     for gi in model.foot_geoms:
-        pos, dist = _foot_floor_contacts(model, xpos, xquat, gi, terrain)
+        pos, dist, frame = _foot_floor_contacts(model, xpos, xquat, gi, terrain)
         all_pos.append(pos)
         all_dist.append(dist)
-        all_geom.append(jnp.full((4,), gi, dtype=jnp.int32))
+        all_geom.append(jnp.full((spg,), gi, dtype=jnp.int32))
+        all_frame.append(frame)
     pos = jnp.concatenate(all_pos)
     dist = jnp.concatenate(all_dist)
     geom = jnp.concatenate(all_geom)
+    frame = jnp.concatenate(all_frame)  # rows: n, t1, t2
     ncon = model.ncon
-    frame = jnp.tile(jnp.eye(3)[jnp.array([2, 0, 1])][None], (ncon, 1, 1))  # rows: n, t1, t2
     mask = (dist < CONTACT_MARGIN).astype(pos.dtype)
     return Contact(pos=pos, frame=frame, dist=dist, geom=geom, force=jnp.zeros((ncon, 3)), mask=mask)
 
@@ -403,10 +493,11 @@ def contact_jacobian(model: Model, jac: jnp.ndarray, contact: Contact) -> jnp.nd
     declaration order), so each geom's body Jacobian is selected with a static
     scalar index and broadcast over its slots.
     """
+    spg = slots_per_geom(model)
     jac_blocks = []
     for gi in model.foot_geoms:
         bi = model.geom_body[gi]
-        jac_blocks.append(jnp.broadcast_to(jac[bi][None], (4,) + jac[bi].shape))
+        jac_blocks.append(jnp.broadcast_to(jac[bi][None], (spg,) + jac[bi].shape))
     jac_c = jnp.concatenate(jac_blocks)  # (ncon, 6, nv)
     ang, lin = jac_c[:, :3, :], jac_c[:, 3:, :]
     px = jax.vmap(maths.skew)(contact.pos)  # (ncon, 3, 3)
@@ -532,9 +623,10 @@ def _constraint_solve(
     a_mat = a_mat * (mask3[:, None] * mask3[None, :]) + jnp.diag(1.0 - mask3)
 
     b_vec = (aref.reshape(-1) - jc_flat @ qacc_smooth) * mask3
-    # per-slot friction is static: 8 slots per foot geom in declaration order
+    # per-slot friction is static: slots map to foot geoms in declaration order
     mu_static = np.repeat(
-        [float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms], 4
+        [float(np.asarray(model.geom_friction)[gi]) for gi in model.foot_geoms],
+        slots_per_geom(model),
     ).astype(np.float32)
     force = _jacobi_solve(a_mat, b_vec, jnp.asarray(mu_static), contact.mask, SOLVER_ITERATIONS)
 

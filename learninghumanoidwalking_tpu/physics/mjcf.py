@@ -21,18 +21,40 @@ def _fmt(vals) -> str:
     return " ".join(f"{float(v):.8g}" for v in vals)
 
 
-def export_mjcf(spec: RobotSpec, timestep: float = 0.001, with_floor: bool = True) -> str:
+def export_mjcf(
+    spec: RobotSpec,
+    timestep: float = 0.001,
+    with_floor: bool = True,
+    terrain_boxes=None,
+    floor_z: float = 0.0,
+) -> str:
     """Serialize a RobotSpec to an MJCF XML string.
 
     Self-collision proxy geoms are exported as contype=0 (visual-only) so the
     MuJoCo contact set matches the JAX engine's (foot boxes vs floor only).
+
+    terrain_boxes: optional iterable of (pos(3), size(3), yaw) static world
+    boxes — the MuJoCo twin of engine.Terrain for stepping-stone goldens
+    (/root/reference/tasks/stepping_task.py:320-334).
     """
+    import math
+
     out = io.StringIO()
     out.write(f"<mujoco model='{spec.name}'>\n")
     out.write(f"  <option timestep='{timestep}' gravity='{_fmt(spec.gravity)}'/>\n")
     out.write("  <worldbody>\n")
     if with_floor:
-        out.write("    <geom name='floor' type='plane' size='20 20 1' friction='1 0.005 0.0001'/>\n")
+        out.write(
+            f"    <geom name='floor' type='plane' pos='0 0 {floor_z}' size='20 20 1' "
+            "friction='1 0.005 0.0001'/>\n"
+        )
+    for ti, (tpos, tsize, tyaw) in enumerate(terrain_boxes or ()):
+        half = 0.5 * float(tyaw)
+        quat = (math.cos(half), 0.0, 0.0, math.sin(half))
+        out.write(
+            f"    <geom name='terrain{ti}' type='box' pos='{_fmt(tpos)}' size='{_fmt(tsize)}' "
+            f"quat='{_fmt(quat)}' friction='1 0.005 0.0001'/>\n"
+        )
 
     children: dict[str, list[Body]] = {}
     for b in spec.bodies:

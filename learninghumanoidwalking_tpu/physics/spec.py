@@ -313,10 +313,11 @@ def lower(spec: RobotSpec) -> m.Model:
     foot_geoms = left + right
     self_pairs = tuple((gname_to_idx[a], gname_to_idx[b]) for a, b in spec.self_collision_pairs)
 
-    # 4 bottom-corner slots per foot geom (static corner set; see
-    # engine._BOTTOM_CORNERS). Terrain boxes do not add slots: terrain enters
-    # as a support-height query under each corner (engine.detect_contacts).
-    ncon = 4 * len(foot_geoms)
+    # 4 bottom-corner slots per foot geom vs the floor plane (static corner
+    # set; engine._BOTTOM_CORNERS). Terrain models add a second slot per
+    # corner for the terrain-box SDF (top + side faces), mirroring MuJoCo's
+    # separate plane-box and box-box contacts (engine.slots_per_geom).
+    ncon = (4 if spec.nterrain == 0 else 8) * len(foot_geoms)
 
     # actuators ---------------------------------------------------------------
     act_body, act_dof, act_qpos, act_gear, act_range, act_names = [], [], [], [], [], []

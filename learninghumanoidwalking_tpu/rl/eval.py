@@ -107,12 +107,14 @@ def evaluate_policy(path: Path, episodes: int = 3, max_steps: int = 400, out: Pa
     else:
         policy_fn = jax.jit(lambda obs: apply_fn(params, obs))
 
-    all_qpos = []
+    get_markers = getattr(env, "render_markers", lambda s: None)
+
+    all_qpos, all_markers = [], []
     for ep in range(episodes):
         state = reset(jax.random.PRNGKey(1000 + ep))
         if recurrent:
             carry = policy.init_carry((1,))
-        total, qpos_traj = 0.0, []
+        total, qpos_traj, marker_traj = 0.0, [], []
         for t in range(max_steps):
             if recurrent:
                 carry, action = policy_step(carry, state.obs[None])
@@ -122,10 +124,12 @@ def evaluate_policy(path: Path, episodes: int = 3, max_steps: int = 400, out: Pa
             state = step(state, action)
             total += float(state.reward)
             qpos_traj.append(np.asarray(state.physics.qpos))
+            marker_traj.append(get_markers(state))
             if bool(state.done):
                 break
         print(f"episode {ep}: reward {total:.2f}  length {t + 1}")
         all_qpos.append(np.stack(qpos_traj))
+        all_markers.append(marker_traj)
 
     if out is not None:
         out = Path(out)
@@ -133,7 +137,7 @@ def evaluate_policy(path: Path, episodes: int = 3, max_steps: int = 400, out: Pa
         if out.suffix in (".mp4", ".gif"):
             from learninghumanoidwalking_tpu.rl.render import render_trajectory
 
-            render_trajectory(env, all_qpos[0], out)
+            render_trajectory(env, all_qpos[0], out, markers=all_markers[0])
             print(f"rendered episode 0 to {out}")
         else:
             np.savez(out, **{f"episode_{i}": q for i, q in enumerate(all_qpos)})

@@ -37,8 +37,47 @@ def _fk_points(env, qpos: np.ndarray):
     return xpos, corners
 
 
-def render_trajectory(env, qpos_traj: np.ndarray, out_path: str | Path, fps: int = 40) -> Path:
-    """Render a (T, nq) qpos trajectory to an mp4/gif stick-figure video."""
+def _draw_markers(ax, a, b, m: dict):
+    """Overlay task markers on one projection panel (a, b = axis indices).
+
+    The stick-figure analog of the reference's viewer marker geoms
+    (/root/reference/envs/common/marker_drawer.py:7-72): footstep targets as
+    numbered circles (t1 filled), the remaining plan as dots, terrain boxes
+    as rectangles, floor at its (possibly dropped) height."""
+    floor_z = m.get("floor_z", 0.0)
+    if "terrain_pos" in m:
+        tpos, tsize = m["terrain_pos"], m["terrain_size"]
+        for p, s in zip(tpos, tsize):
+            if abs(p[0]) > 20 or abs(p[1]) > 20:
+                continue  # parked (inactive) boxes
+            lo_a, hi_a = p[a] - s[a], p[a] + s[a]
+            if b == 2:
+                lo_b, hi_b = p[2] - s[2], p[2] + s[2]
+            else:
+                lo_b, hi_b = p[b] - s[b], p[b] + s[b]
+            ax.fill(
+                [lo_a, hi_a, hi_a, lo_a], [lo_b, lo_b, hi_b, hi_b],
+                color="tab:gray", alpha=0.4, lw=0.5, edgecolor="k",
+            )
+    if "sequence" in m:
+        seq = m["sequence"]
+        bb = seq[:, 2] if b == 2 else seq[:, b]
+        ax.plot(seq[:, a], bb, ".", color="tab:green", ms=3, alpha=0.5)
+    if "targets" in m:
+        tgt = m["targets"]
+        for k, (style, fill) in enumerate([("tab:orange", True), ("tab:green", False)]):
+            pa = tgt[k][a]
+            pb = tgt[k][2] if b == 2 else tgt[k][b]
+            ax.plot(
+                pa, pb, "o", ms=8, mfc=style if fill else "none", mec=style, mew=1.5
+            )
+
+
+def render_trajectory(env, qpos_traj: np.ndarray, out_path: str | Path, fps: int = 40, markers=None) -> Path:
+    """Render a (T, nq) qpos trajectory to an mp4/gif stick-figure video.
+
+    markers: optional per-frame dicts from env.render_markers (footstep
+    targets / terrain boxes / mode text overlays)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -51,10 +90,13 @@ def render_trajectory(env, qpos_traj: np.ndarray, out_path: str | Path, fps: int
     fig, axes = plt.subplots(1, 2, figsize=(8, 4))
     for t in range(qpos_traj.shape[0]):
         xpos, corners = _fk_points(env, qpos_traj[t])
+        m = markers[t] if markers is not None and t < len(markers) and markers[t] else None
         for ax, (a, b, alabel, blabel) in zip(
             axes, [(0, 2, "x [m]", "z [m]"), (1, 2, "y [m]", "z [m]")]
         ):
             ax.clear()
+            if m is not None:
+                _draw_markers(ax, a, b, m)
             for i in range(1, env.model.nbody):
                 p = parent[i]
                 if p == 0:
@@ -62,14 +104,21 @@ def render_trajectory(env, qpos_traj: np.ndarray, out_path: str | Path, fps: int
                 ax.plot([xpos[p, a], xpos[i, a]], [xpos[p, b], xpos[i, b]], "o-", color="tab:blue", ms=2, lw=1.5)
             for pts in corners:
                 ax.plot(pts[:, a], pts[:, b], "-", color="tab:red", lw=1)
-            ax.axhline(0.0, color="gray", lw=0.5)
+            floor_z = m.get("floor_z", 0.0) if m is not None else 0.0
+            ax.axhline(floor_z, color="gray", lw=0.5)
             root = xpos[1]
             ax.set_xlim(root[a] - 1.0, root[a] + 1.0)
             ax.set_ylim(-0.1, 1.9)
             ax.set_aspect("equal")
             ax.set_xlabel(alabel)
             ax.set_ylabel(blabel)
-        axes[0].set_title(f"t = {t / fps:.2f} s")
+        title = f"t = {t / fps:.2f} s"
+        if m is not None and "mode" in m:
+            title += f"  [{m['mode']}]"
+            if "mode_ref" in m:
+                r = m["mode_ref"]
+                title += f" ref=({r[0]:+.2f}, {r[1]:+.2f}, {r[2]:+.2f})"
+        axes[0].set_title(title)
         fig.canvas.draw()
         buf = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
         frames.append(buf.copy())

@@ -89,3 +89,52 @@ def test_kernel_terrain_matches_batched_engine():
     out = sk.pd_substeps_kernel(model, params, states, target, 5, 0.001, terrain)
     np.testing.assert_allclose(np.asarray(out.qpos), np.asarray(ref.qpos), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out.contact.mask), np.asarray(ref.contact.mask))
+
+
+@pytest.mark.slow
+def test_kernel_side_face_matches_batched():
+    """Side-face (riser) contacts through the kernel's full-box SDF must
+    match the batched engine: tilted contact frames and arrested motion
+    (the round-1 top-face-only query let feet pass through risers)."""
+    from learninghumanoidwalking_tpu.ops import substep_kernel as sk
+    from learninghumanoidwalking_tpu.physics.engine import Terrain
+
+    B = 8
+    TB = (1, 8)
+    NT = 2
+    model = lower(jvrc_spec(nterrain=NT))
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(
+        np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose]).astype(np.float32)[None], (B, 1)
+    )
+    qvel = np.zeros((B, 18), np.float32)
+    qvel[:, 0] = 1.0  # flying forward into a wall of boxes
+
+    # tall step ahead: riser face at x = 0.24, top at z = 0.6 (above feet)
+    tpos = np.tile(np.array([[0.44, 0.0, 0.3], [9.0, 9.0, -0.07]], np.float32)[None], (B, 1, 1))
+    tsize = np.tile(np.array([[0.2, 1.0, 0.3], [0.5, 0.5, 0.1]], np.float32)[None], (B, 1, 1))
+    terrain = Terrain(
+        pos=jnp.asarray(tpos), size=jnp.asarray(tsize), yaw=jnp.zeros((B, NT)), floor_z=jnp.zeros(B)
+    )
+
+    target = jnp.asarray(np.tile(pose[None], (B, 1)))
+    kp = jnp.asarray([200, 200, 200, 250, 80, 80] * 2, jnp.float32)
+    kd = jnp.asarray([20, 20, 20, 25, 8, 8] * 2, jnp.float32)
+    p1 = default_dyn_params(model, kp, kd)
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
+    st_k, st_b = states, states
+    for _ in range(6):  # 150 ms at 1 m/s: the toe reaches and hits the riser
+        st_k = sk.pd_substeps_kernel(model, params, st_k, target, 5, 0.001, terrain)
+        st_b = batched.pd_substeps_batched(model, params, st_b, target, 5, 0.001, terrain)
+
+    np.testing.assert_allclose(np.asarray(st_k.qpos), np.asarray(st_b.qpos), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(st_k.contact.frame), np.asarray(st_b.contact.frame), atol=1e-4)
+    # non-vacuous: at least one active contact is against the riser (its
+    # normal is horizontal, pointing -x)
+    normals = np.asarray(st_b.contact.frame[:, :, 0, :])  # (B, nc, 3)
+    active = np.asarray(st_b.contact.mask) > 0
+    assert (normals[active][:, 0] < -0.9).any(), "no side-face contact engaged"

@@ -21,47 +21,49 @@ from learninghumanoidwalking_tpu.physics.spec import lower  # noqa: E402
 from learninghumanoidwalking_tpu.robots.pd import pd_substeps  # noqa: E402
 
 
-def _run_mujoco(xml, qpos0, pose, kp, kd, steps):
+def _run_mujoco(xml, qpos0, pose, kp, kd, steps, qvel0=None):
     mj_model = mujoco.MjModel.from_xml_string(xml)
     mj_data = mujoco.MjData(mj_model)
     act_qpos = [mj_model.jnt_qposadr[mj_model.actuator_trnid[i, 0]] for i in range(mj_model.nu)]
     act_dof = [mj_model.jnt_dofadr[mj_model.actuator_trnid[i, 0]] for i in range(mj_model.nu)]
     mj_data.qpos[:] = qpos0
-    mj_data.qvel[:] = 0
+    mj_data.qvel[:] = 0 if qvel0 is None else qvel0
     mujoco.mj_forward(mj_model, mj_data)
-    zs, grf = [], []
+    zs, grf, xs = [], [], []
     for _ in range(steps):
         q = mj_data.qpos[act_qpos]
         v = mj_data.qvel[act_dof]
         mj_data.ctrl[:] = kp * (pose - q) - kd * v
         mujoco.mj_step(mj_model, mj_data)
         zs.append(mj_data.qpos[2])
+        xs.append(mj_data.qpos[0])
         f_tot = 0.0
         for ci in range(mj_data.ncon):
             f6 = np.zeros(6)
             mujoco.mj_contactForce(mj_model, mj_data, ci, f6)
             f_tot += np.linalg.norm(f6[:3])
         grf.append(f_tot)
-    return np.array(zs), np.array(grf), mj_model.body_mass.sum()
+    return np.array(zs), np.array(grf), mj_model.body_mass.sum(), np.array(xs)
 
 
-def _run_ours(spec, qpos0, pose, kp, kd, steps):
+def _run_ours(spec, qpos0, pose, kp, kd, steps, qvel0=None, terrain=None):
     model = lower(spec)
     params = default_dyn_params(model, jnp.asarray(kp, jnp.float32), jnp.asarray(kd, jnp.float32))
-    state = engine.make_state(model, jnp.asarray(qpos0, jnp.float32), jnp.zeros(model.nv))
+    qvel = jnp.zeros(model.nv) if qvel0 is None else jnp.asarray(qvel0, jnp.float32)
+    state = engine.make_state(model, jnp.asarray(qpos0, jnp.float32), qvel)
     target = jnp.asarray(pose, jnp.float32)
 
     @jax.jit
     def roll(state):
         def body(s, _):
-            s = pd_substeps(model, params, s, target, 1, 0.001)
+            s = pd_substeps(model, params, s, target, 1, 0.001, terrain=terrain)
             f = jnp.sum(jnp.linalg.norm(s.contact.force, axis=-1) * s.contact.mask)
-            return s, (s.qpos[2], f)
+            return s, (s.qpos[2], f, s.qpos[0])
 
         return jax.lax.scan(body, state, None, length=steps)
 
-    _, (zs, grf) = roll(state)
-    return np.asarray(zs), np.asarray(grf), float(np.sum(np.asarray(model.body_mass)))
+    _, (zs, grf, xs) = roll(state)
+    return np.asarray(zs), np.asarray(grf), float(np.sum(np.asarray(model.body_mass))), np.asarray(xs)
 
 
 @pytest.mark.slow
@@ -87,11 +89,87 @@ def test_pd_held_trajectory_matches_mujoco(robot):
     qpos0 = np.concatenate([[0, 0, height], [1, 0, 0, 0], pose])
     steps = 500  # 0.5 s — before fall trajectories diverge chaotically
     xml = export_mjcf(spec)
-    zs_mj, grf_mj, mass_mj = _run_mujoco(xml, qpos0, pose, kp, kd, steps)
-    zs_j, grf_j, mass_j = _run_ours(spec, qpos0, pose, kp, kd, steps)
+    zs_mj, grf_mj, mass_mj, _ = _run_mujoco(xml, qpos0, pose, kp, kd, steps)
+    zs_j, grf_j, mass_j, _ = _run_ours(spec, qpos0, pose, kp, kd, steps)
 
     np.testing.assert_allclose(mass_j, mass_mj, rtol=1e-4)
     # trajectory agreement: a few mm over half a second of contact dynamics
-    assert np.abs(zs_mj - zs_j).mean() < 0.01, f"mean |dz| {np.abs(zs_mj - zs_j).mean():.4f}"
-    # settled total GRF within 10% once transients die out
-    assert abs(grf_mj[300:].mean() - grf_j[300:].mean()) / grf_mj[300:].mean() < 0.10
+    assert np.abs(zs_mj - zs_j).mean() < 0.005, f"mean |dz| {np.abs(zs_mj - zs_j).mean():.4f}"
+    # settled total GRF within 5% once transients die out
+    assert abs(grf_mj[300:].mean() - grf_j[300:].mean()) / grf_mj[300:].mean() < 0.05
+
+
+def _jvrc_setup():
+    from learninghumanoidwalking_tpu.models.jvrc import HALF_SITTING_POSE_DEG, NOMINAL_HEIGHT, jvrc_spec
+
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG)
+    kp = np.array([200, 200, 200, 250, 80, 80] * 2, dtype=np.float64)
+    kd = np.array([20, 20, 20, 25, 8, 8] * 2, dtype=np.float64)
+    return jvrc_spec, pose, kp, kd, NOMINAL_HEIGHT
+
+
+def _terrain_obj(boxes, nterrain, floor_z=0.0):
+    from learninghumanoidwalking_tpu.physics.engine import Terrain
+
+    pos = np.full((nterrain, 3), [50.0, 50.0, -0.07], np.float32)
+    size = np.tile(np.array([0.5, 0.5, 0.1], np.float32), (nterrain, 1))
+    yaw = np.zeros(nterrain, np.float32)
+    for i, (p, s, y) in enumerate(boxes):
+        pos[i], size[i], yaw[i] = p, s, y
+    return Terrain(pos=jnp.asarray(pos), size=jnp.asarray(size), yaw=jnp.asarray(yaw), floor_z=jnp.asarray(floor_z))
+
+
+@pytest.mark.slow
+def test_stepping_stone_statics_match_mujoco():
+    """Settled statics on raised stepping stones (full MuJoCo boxes) — the
+    terrain analog of the flat-floor golden
+    (/root/reference/tasks/stepping_task.py:320-334 scene construction,
+    /root/reference/scripts/test_contact_behavior.py verification)."""
+    spec_fn, pose, kp, kd, height = _jvrc_setup()
+    spec = spec_fn(nterrain=4)
+    # two stones centered under the feet (foot bottom spans x 0.014-0.214),
+    # tops at z = 0.08, yawed slightly. Stones must cover all four foot
+    # corners: contacts are emitted at the foot's bottom corners (MuJoCo's
+    # <=4 deepest plane/box points), so a stone EDGE under the sole midfoot
+    # is not representable — the stepping task targets stone centers, where
+    # this never binds.
+    boxes = [
+        ((0.114, 0.12, 0.03), (0.2, 0.12, 0.05), 0.05),
+        ((0.114, -0.12, 0.03), (0.2, 0.12, 0.05), -0.05),
+    ]
+    qpos0 = np.concatenate([[0, 0, height + 0.08], [1, 0, 0, 0], pose])
+    steps = 500
+    xml = export_mjcf(spec, terrain_boxes=boxes)
+    zs_mj, grf_mj, _, _ = _run_mujoco(xml, qpos0, pose, kp, kd, steps)
+    terrain = _terrain_obj(boxes, nterrain=4)
+    zs_j, grf_j, _, _ = _run_ours(spec, qpos0, pose, kp, kd, steps, terrain=terrain)
+
+    assert np.abs(zs_mj - zs_j).mean() < 0.005, f"mean |dz| {np.abs(zs_mj - zs_j).mean():.4f}"
+    assert abs(grf_mj[300:].mean() - grf_j[300:].mean()) / grf_mj[300:].mean() < 0.05
+
+
+@pytest.mark.slow
+def test_riser_side_face_matches_mujoco():
+    """A foot driven into a stair riser (box SIDE face) must be stopped the
+    way MuJoCo stops it — the case the round-1 top-face-only query missed
+    (VERDICT round 1, missing #4)."""
+    spec_fn, pose, kp, kd, height = _jvrc_setup()
+    spec = spec_fn(nterrain=2)
+    # a tall step ahead: riser face at x = 0.24, top at z = 0.6 (above feet)
+    boxes = [((0.44, 0.0, 0.3), (0.2, 1.0, 0.3), 0.0)]
+    qpos0 = np.concatenate([[0, 0, height], [1, 0, 0, 0], pose])
+    qvel0 = np.zeros(18)
+    qvel0[0] = 1.0  # flying forward at 1 m/s
+    steps = 300
+    xml = export_mjcf(spec, terrain_boxes=boxes)
+    zs_mj, _, _, xs_mj = _run_mujoco(xml, qpos0, pose, kp, kd, steps, qvel0=qvel0)
+    terrain = _terrain_obj(boxes, nterrain=2)
+    zs_j, _, _, xs_j = _run_ours(spec, qpos0, pose, kp, kd, steps, qvel0=qvel0, terrain=terrain)
+
+    # MuJoCo's riser jams the toe and the robot pitches forward over it
+    # (root keeps advancing while falling); the golden criterion is that our
+    # engine does the SAME thing — without side-face collision the foot
+    # passes through and the robot neither decelerates nor pitches.
+    assert np.abs(xs_mj - xs_j).mean() < 0.03, f"mean |dx| {np.abs(xs_mj - xs_j).mean():.4f}"
+    assert abs(xs_mj[-1] - xs_j[-1]) < 0.06, f"final dx {abs(xs_mj[-1] - xs_j[-1]):.4f}"
+    assert np.abs(zs_mj - zs_j).mean() < 0.02, f"mean |dz| {np.abs(zs_mj - zs_j).mean():.4f}"

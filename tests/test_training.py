@@ -95,3 +95,67 @@ def test_mirror_loss_active():
     ts2, metrics = ppo._train_iter(ts)
     assert float(metrics["mirror_loss"]) >= 0.0
     assert np.isfinite(float(metrics["mirror_loss"]))
+
+
+@pytest.mark.slow
+def test_training_improves_reward():
+    """Learning actually happens: 30 cartpole iterations raise the rollout
+    reward well above the untrained policy's (the reference's acceptance is
+    swing-up after minutes of training, README.md:82; this is the short
+    CI-sized version of that check)."""
+    env = make_env("cartpole")
+    # CPU-test-sized recipe that measurably learns (probed: deterministic
+    # reward 0.42 -> 0.58 by iter 100 at lr 1e-3 / 6 epochs; the production
+    # recipe's lr 3e-4 needs far more steps than a unit test can afford)
+    cfg = PPOConfig(
+        num_envs=128, rollout_len=64, minibatch_size=2048, epochs=6, lr=1e-3,
+        max_traj_len=200, seed=0, input_norm_iters=2,
+    )
+    ppo = PPO(env, cfg)
+    ts = ppo.init_state(jax.random.PRNGKey(0))
+
+    def det_reward(ts):
+        # deterministic policy rollout reward (stochastic rollout rewards are
+        # too noisy at this scale to show progress cleanly)
+        _, _, traj = jax.jit(lambda ts, k: ppo._rollout(ts, k, True))(ts, jax.random.PRNGKey(99))
+        return float(traj["reward"].mean())
+
+    before = det_reward(ts)
+    for _ in range(100):
+        ts, _ = ppo._train_iter(ts)
+    after = det_reward(ts)
+    assert after > before + 0.05, f"no learning: before {before:.3f} after {after:.3f}"
+
+
+@pytest.mark.slow
+def test_humanoid_train_smoke():
+    """Full PPO iteration on a humanoid env (the reference's slow train-loop
+    test runs a real env, tests/test_training.py:202-235; round-1 coverage
+    only had cartpole)."""
+    env = make_env("jvrc_walk")
+    cfg = PPOConfig(num_envs=4, rollout_len=4, minibatch_size=8, epochs=1, max_traj_len=16, seed=0)
+    ppo = PPO(env, cfg)
+    ts = ppo.init_state(jax.random.PRNGKey(0))
+    ts2, metrics = ppo._train_iter(ts)
+    for k in ("actor_loss", "critic_loss", "approx_kl", "mean_reward", "mirror_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    before = jax.tree.leaves(ts.actor_params)
+    after = jax.tree.leaves(ts2.actor_params)
+    assert any(bool(jnp.any(a != b)) for a, b in zip(after, before))
+
+
+@pytest.mark.slow
+def test_recurrent_humanoid_iteration():
+    """LSTM PPO on a humanoid env (round-1 recurrent coverage was
+    cartpole-only; reference covers recurrent init + 1 iter,
+    tests/test_training.py:398-426)."""
+    env = make_env("jvrc_walk")
+    cfg = PPOConfig(
+        num_envs=4, rollout_len=4, minibatch_size=8, epochs=1, max_traj_len=16,
+        recurrent=True, seed=0,
+    )
+    ppo = PPO(env, cfg)
+    ts = ppo.init_state(jax.random.PRNGKey(0))
+    ts2, metrics = ppo._train_iter(ts)
+    assert np.isfinite(float(metrics["actor_loss"]))
+    assert any(bool(jnp.any(x != 0)) for x in jax.tree.leaves(ts2.actor_carry))
