@@ -586,20 +586,13 @@ def _build_substep(model: Model, dt: float, tb: int):
                 gram[(k1, k2)] = g
                 gram[(k2, k1)] = g
 
-        def combo(ci, cj):
+        def combo_diag(ci):
             out = None
             for key_i, w_i in ci:
-                for key_j, w_j in cj:
+                for key_j, w_j in ci:
                     term = w_i * w_j * gram[(key_i, key_j)]
                     out = term if out is None else out + term
             return out
-
-        a_rows = [[None] * (3 * nc) for _ in range(3 * nc)]
-        for i in range(3 * nc):
-            for j in range(i, 3 * nc):
-                val = combo(coeffs[i], coeffs[j])
-                a_rows[i][j] = val
-                a_rows[j][i] = val
 
         # contact-row dots with qvel / qacc_smooth through the basis
         u_vel = {bk: _dot(blk, qvel) for bk, blk in basis.items()}
@@ -612,8 +605,9 @@ def _build_substep(model: Model, dt: float, tb: int):
                 out = term if out is None else out + term
             return out
 
-        # aref + regularization
-        b_list = []
+        # aref + regularization; D = mask * r_diag + (1 - mask)
+        n3 = 3 * nc
+        b_list, d_list, mask3 = [], [], []
         for c in range(nc):
             pen = jnp.minimum(cdist[c], 0.0)
             imp = imp_min + (imp_max - imp_min) * jnp.clip(-pen / width, 0.0, 1.0)
@@ -623,24 +617,119 @@ def _build_substep(model: Model, dt: float, tb: int):
                 if f == 0:
                     aref = aref - k_ref * imp * pen
                 a0 = row_dot(coeffs[3 * c + f], u_acc)
-                r_diag = (1.0 - imp) / jnp.maximum(imp, 1e-6) * jnp.maximum(a_rows[3 * c + f][3 * c + f], 1e-8)
-                i_full = 3 * c + f
-                a_rows[i_full][i_full] = a_rows[i_full][i_full] + r_diag
+                a_diag = combo_diag(coeffs[3 * c + f])
+                r_diag = (1.0 - imp) / jnp.maximum(imp, 1e-6) * jnp.maximum(a_diag, 1e-8)
                 b_list.append((aref - a0) * cmask[c])
-        # mask rows/cols
-        mask3 = []
-        for c in range(nc):
-            for f in range(3):
+                d_list.append(cmask[c] * r_diag + (1.0 - cmask[c]))
                 mask3.append(cmask[c])
-        n3 = 3 * nc
-        for i in range(n3):
-            for j in range(n3):
-                a_rows[i][j] = a_rows[i][j] * mask3[i] * mask3[j]
-            a_rows[i][i] = a_rows[i][i] + (1.0 - mask3[i])
 
-        a_blocks = [jnp.concatenate(a_rows[i]) for i in range(n3)]  # (n3,TB)
+        # --- Woodbury contact solve ---------------------------------------
+        # The masked system is A = Cm G Cm^T + D, with Cm the mask-scaled
+        # (n3 x 12) basis-coefficient matrix (block-diagonal per foot) and
+        # G the 12x12 basis Gram — rank(A - D) <= 12 regardless of the
+        # number of contact slots. With LG = chol(G) and Chat = Cm LG:
+        #   A^-1 r = D^-1 r - D^-1 Chat (I + Chat^T D^-1 Chat)^-1 Chat^T D^-1 r
+        # so the exact solve runs through a 12x12 inner Cholesky instead of
+        # forming/factoring the dense (3nc)^2 matrix. At 16 terrain contact
+        # slots the dense A + its factor alone (~18 MB of (1,8,128) blocks)
+        # blow the 16 MB VMEM scope; this keeps the full (8,128) tile AND
+        # cuts the contact-solve op count ~3x.
+        key_idx = {k: i for i, k in enumerate(bkeys)}
+        nk = len(bkeys)
+        g_rows = []
+        for r_ in range(nk):
+            row = []
+            for c_ in range(nk):
+                v = gram[(bkeys[r_], bkeys[c_])]
+                if r_ == c_:
+                    v = v + 1e-8  # G is SPD (independent basis rows through M^-1)
+                row.append(v)
+            g_rows.append(jnp.concatenate(row))
+        lg_cols = _chol_rows(g_rows, nk, tb)  # lower-tri columns, (nk,TB) each
+
+        # Chat[i][k] = mask_i * sum_m w_m LG[idx(m), k]; LG[r,k] = lg_cols[k][r].
+        # Rows only touch their own foot's 6 basis keys -> block sparsity.
+        chat = []
+        for i in range(n3):
+            row = []
+            for k in range(nk):
+                acc = None
+                for key_m, w_m in coeffs[i]:
+                    r_ = key_idx[key_m]
+                    if r_ < k:
+                        continue  # LG structurally zero above the diagonal
+                    term = w_m * lg_cols[k][r_ : r_ + 1]
+                    acc = term if acc is None else acc + term
+                row.append(None if acc is None else acc * mask3[i])
+            chat.append(row)
+
+        dinv = [1.0 / d for d in d_list]
+
+        # K = I + Chat^T D^-1 Chat
+        k_rows_m = [[None] * nk for _ in range(nk)]
+        for a_ in range(nk):
+            for b_ in range(a_, nk):
+                acc = None
+                for i in range(n3):
+                    ca, cb = chat[i][a_], chat[i][b_]
+                    if ca is None or cb is None:
+                        continue
+                    term = ca * cb * dinv[i]
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = jnp.zeros((1, *tb))
+                if a_ == b_:
+                    acc = acc + 1.0
+                k_rows_m[a_][b_] = acc
+                k_rows_m[b_][a_] = acc
+        lk_cols = _chol_rows([jnp.concatenate(k_rows_m[a_]) for a_ in range(nk)], nk, tb)
+
+        def apply_ainv(rv):
+            """(n3,TB) -> (n3,TB): exact A^-1 via the Woodbury identity."""
+            u = [rv[i : i + 1] * dinv[i] for i in range(n3)]
+            v = []
+            for k in range(nk):
+                acc = None
+                for i in range(n3):
+                    if chat[i][k] is None:
+                        continue
+                    term = chat[i][k] * u[i]
+                    acc = term if acc is None else acc + term
+                v.append(acc if acc is not None else jnp.zeros((1, *tb)))
+            w = _cho_solve_rows(lk_cols, jnp.concatenate(v), nk, tb)
+            outs = []
+            for i in range(n3):
+                acc = None
+                for k in range(nk):
+                    if chat[i][k] is None:
+                        continue
+                    term = chat[i][k] * w[k : k + 1]
+                    acc = term if acc is None else acc + term
+                outs.append(u[i] if acc is None else u[i] - dinv[i] * acc)
+            return jnp.concatenate(outs)
+
+        def apply_a(fv):
+            """(n3,TB) -> (n3,TB): A f = Chat (Chat^T f) + D f."""
+            t_ = []
+            for k in range(nk):
+                acc = None
+                for i in range(n3):
+                    if chat[i][k] is None:
+                        continue
+                    term = chat[i][k] * fv[i : i + 1]
+                    acc = term if acc is None else acc + term
+                t_.append(acc)
+            outs = []
+            for i in range(n3):
+                acc = d_list[i] * fv[i : i + 1]
+                for k in range(nk):
+                    if chat[i][k] is None or t_[k] is None:
+                        continue
+                    acc = acc + chat[i][k] * t_[k]
+                outs.append(acc)
+            return jnp.concatenate(outs)
+
         b_vec = jnp.concatenate(b_list)  # (n3,TB)
-        la_rows, f0 = _chol_solve_rows(a_blocks, b_vec, n3, tb)
 
         mus = np.asarray([s[2] for s in slots], dtype=np.float32)
 
@@ -655,11 +744,10 @@ def _build_substep(model: Model, dt: float, tb: int):
                 outs.extend([fn * cmask[c], ft1 * scale * cmask[c], ft2 * scale * cmask[c]])
             return jnp.concatenate(outs)
 
-        fvec = project(f0)
+        fvec = project(apply_ainv(b_vec))
         for _ in range(PROJ_REFINE_ITERS - 1):
-            # r = b - A f
-            r = b_vec - jnp.concatenate([_dot(a_blocks[i], fvec) for i in range(n3)])
-            fvec = project(fvec + _cho_solve_rows(la_rows, r, n3, tb))
+            r = b_vec - apply_a(fvec)
+            fvec = project(fvec + apply_ainv(r))
 
         # qfrc_con = Jc^T f = B^T w with w_k = sum_i coeff_ik f_i (12 basis
         # accumulators instead of 24 (nv,TB) jacobian rows)
@@ -733,11 +821,11 @@ def _matvec_np_local(rot_rows, local: np.ndarray):
     )
 
 
-def _chol_solve_rows(m_rows, b, n, tb):
-    """Cholesky + solve on the row-block representation.
+def _chol_rows(m_rows, n, tb):
+    """Cholesky factor on the row-block representation.
 
-    m_rows: list of n (n,TB) rows. b: (n,TB).
-    Returns (l_cols — list of n (n,TB) column blocks of L — and x (n,TB)).
+    m_rows: list of n (n,TB) rows. Returns l_cols — list of n (n,TB) column
+    blocks of L.
 
     Outer-product form: per column j, col = R[:, j] (masked to rows >= j) / d,
     then rank-1 downdate of the remaining rows. In this storage a "column"
@@ -753,6 +841,12 @@ def _chol_solve_rows(m_rows, b, n, tb):
         for i in range(j + 1, n):
             r[i] = r[i] - col[i : i + 1] * col
         l_cols.append(col)
+    return l_cols
+
+
+def _chol_solve_rows(m_rows, b, n, tb):
+    """Cholesky + solve on the row-block representation (see _chol_rows)."""
+    l_cols = _chol_rows(m_rows, n, tb)
     return l_cols, _cho_solve_rows(l_cols, b, n, tb)
 
 
@@ -927,7 +1021,8 @@ def kernel_tile(batch: int, prefer: int = 128) -> tuple[int, int] | None:
     """Largest viable (sublanes, lanes) tile for this batch (None if
     incompatible). Full 8-sublane tiles whenever the batch allows; lanes stay
     at 128 because the (8, 256) working set (~20 MB) exceeds the 16 MB scoped
-    VMEM limit."""
+    VMEM limit. (The Woodbury contact solve keeps even the 16-slot terrain
+    models inside the (8, 128) VMEM budget.)"""
     for sub in (8, 4, 2, 1):
         for lanes in (prefer, 256):
             if batch % (sub * lanes) == 0:
