@@ -84,6 +84,13 @@ def main():
         float(aux["actor_loss"])
     train_fps = NUM_ENVS * ROLLOUT_LEN * n_train / (time.perf_counter() - t0)
 
+    # 25 physics substeps per env step: the headroom-relevant number is how
+    # many ns one env-substep costs on the chip (the kernel is VPU fp32
+    # elementwise work; XLA's flop count sees through neither the pallas
+    # custom call nor VPU-vs-MXU peaks, so hw_utilization_est is a lower
+    # bound from the non-kernel ops only)
+    substep_ns = 1e9 / (sps * 25.0)
+
     print(
         json.dumps(
             {
@@ -92,6 +99,7 @@ def main():
                 "unit": "env_steps/s",
                 "vs_baseline": round(sps / BASELINE_TARGET, 4),
                 "training_fps": round(train_fps, 1),
+                "env_substep_ns": round(substep_ns, 2),
                 "hw_utilization_est": util,
             }
         )

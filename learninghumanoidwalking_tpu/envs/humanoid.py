@@ -345,6 +345,19 @@ class HumanoidEnv(Env):
             physics = pd_substeps(m, state.dyn, state.physics, full_target, self.frame_skip, self.sim_dt, terrain)
         return self._post_step(state, physics, action, full_target)
 
+    def rangefinder(self, state: EnvState, num_rows: int = 4, num_cols: int = 4, spacing: float = 0.4):
+        """Downward ray-distance grid under the root body (the reference's
+        optional rangefinder sensor array, envs/h1/gen_xml.py:34-47 — shipped
+        disabled and unread in every reference config, provided here for
+        capability parity; -1 where nothing is hit)."""
+        from learninghumanoidwalking_tpu.physics import rangefinder as rf
+
+        sites = rf.site_grid(num_rows, num_cols, spacing)
+        terrain = self._terrain(state.task)
+        return rf.rangefinder(
+            state.physics.xpos[self.root_idx], state.physics.xquat[self.root_idx], terrain, sites
+        )
+
     def render_markers(self, state: EnvState) -> dict | None:
         """Per-frame overlay data for eval rendering (the analog of the
         reference's MarkerDrawer viewer geoms, marker_drawer.py:7-72).
