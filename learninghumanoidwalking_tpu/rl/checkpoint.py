@@ -94,10 +94,18 @@ class Checkpointer:
         return target.replace(**restored)
 
 
+def _has_checkpoints(p: Path) -> bool:
+    ck = p / "checkpoints"
+    return ck.exists() and any(ck.iterdir())
+
+
 def find_latest_run(base: str | Path) -> Path | None:
-    """Latest run dir under base (reference run_experiment.py:49-84 analog)."""
+    """Latest run dir under base (reference run_experiment.py:49-84 analog).
+
+    A run counts only if its checkpoints dir is non-empty (a crashed launch
+    can leave an empty one behind)."""
     base = Path(base)
-    if (base / "checkpoints").exists():
+    if _has_checkpoints(base):
         return base
-    runs = sorted([p for p in base.iterdir() if (p / "checkpoints").exists()]) if base.exists() else []
+    runs = sorted([p for p in base.iterdir() if _has_checkpoints(p)]) if base.exists() else []
     return runs[-1] if runs else None

@@ -139,8 +139,16 @@ def train(argv):
 
     init_ts = ppo.init_state(jax.random.PRNGKey(args.seed))
     if args.continued:
-        init_ts = Checkpointer(args.continued).restore(init_ts)
-        print(f"resumed from {args.continued} at iteration {int(init_ts.iteration)}")
+        # accept either a run dir or a logdir parent — auto-discover the
+        # latest run with checkpoints, the same way eval resolves --path
+        # (run_experiment.py:49-84 in the reference)
+        from learninghumanoidwalking_tpu.rl.checkpoint import find_latest_run
+
+        resume_dir = find_latest_run(args.continued)
+        if resume_dir is None:
+            raise FileNotFoundError(f"no runs with checkpoints under {args.continued}")
+        init_ts = Checkpointer(resume_dir).restore(init_ts)
+        print(f"resumed from {resume_dir} at iteration {int(init_ts.iteration)}")
 
     mesh = make_mesh(args.n_devices)
     if len(mesh.devices.flat) > 1:
