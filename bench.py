@@ -26,6 +26,55 @@ BASELINE_TARGET = 10_000_000.0  # env steps/s north star (BASELINE.json)
 V5E_PEAK_FLOPS = 197e12
 
 
+def _kernel_flops_per_env_substep(model) -> float:
+    """Analytic FLOP count of ONE pallas-kernel physics substep for ONE env.
+
+    XLA's cost analysis cannot see inside the pallas custom call, so the
+    substep body is traced (tile (1,1) = one env) and its jaxpr's arithmetic
+    primitives are counted element-wise. Transcendentals are weighted ~8."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from learninghumanoidwalking_tpu.ops.substep_kernel import _build_substep
+
+    substep, _ = _build_substep(model, 0.001, (1, 1))
+    nb, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
+    z = lambda r: jnp.zeros((r, 1, 1))
+    ctx = dict(
+        damping=z(nv), frictionloss=z(nv), body_mass=z(nb) + 1.0,
+        body_ipos=z(3 * nb), xfrc=z(6 * nb),
+    )
+    nt = model.nterrain
+    if nt > 0:
+        ctx.update(
+            terrain_pos=z(3 * nt), terrain_size=z(3 * nt) + 0.1,
+            terrain_cos=z(nt) + 1.0, terrain_sin=z(nt), floor_z=z(1),
+        )
+    jaxpr = jax.make_jaxpr(lambda q, v, c, ctx: substep(q, v, c, ctx))(
+        z(nq), z(nv), z(nu), ctx
+    )
+    cheap = {"add", "sub", "mul", "max", "min", "and", "or", "select_n", "ne", "lt", "le", "gt", "ge", "neg", "abs", "sign"}
+    costly = {"div": 4, "sqrt": 4, "rsqrt": 4, "sin": 8, "cos": 8, "tanh": 8, "exp": 8, "sinc": 12, "integer_pow": 2}
+    flops = 0.0
+
+    def visit(jp):
+        nonlocal flops
+        for eqn in jp.eqns:
+            for sub in eqn.params.values():
+                if hasattr(sub, "jaxpr"):
+                    visit(sub.jaxpr)
+            name = eqn.primitive.name
+            size = max((int(np.prod(ov.aval.shape)) for ov in eqn.outvars), default=0)
+            if name in cheap:
+                flops += size
+            elif name in costly:
+                flops += costly[name] * size
+
+    visit(jaxpr.jaxpr)
+    return flops
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -90,6 +139,11 @@ def main():
     # custom call nor VPU-vs-MXU peaks, so hw_utilization_est is a lower
     # bound from the non-kernel ops only)
     substep_ns = 1e9 / (sps * 25.0)
+    try:
+        kernel_flops = _kernel_flops_per_env_substep(env.model)
+        kernel_gflops = kernel_flops * sps * 25.0 / 1e9
+    except Exception:
+        kernel_flops, kernel_gflops = None, None
 
     print(
         json.dumps(
@@ -100,6 +154,8 @@ def main():
                 "vs_baseline": round(sps / BASELINE_TARGET, 4),
                 "training_fps": round(train_fps, 1),
                 "env_substep_ns": round(substep_ns, 2),
+                "kernel_flops_per_env_substep": kernel_flops,
+                "kernel_gflops": round(kernel_gflops, 1) if kernel_gflops else None,
                 "hw_utilization_est": util,
             }
         )
