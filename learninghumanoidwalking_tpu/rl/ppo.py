@@ -515,27 +515,19 @@ class PPO:
 
         def epoch_fn(carry, key_epoch):
             actor_params, critic_params, actor_opt, critic_opt = carry
-            # one shuffle-gather per epoch + contiguous slices (see _update)
-            perm = jax.random.permutation(key_epoch, n_envs)
-            shuf = (
-                batch.obs[:, perm],
-                batch.actions[:, perm],
-                batch.log_probs[:, perm],
-                batch.advantages[:, perm],
-                batch.returns[:, perm],
-                batch.done[:, perm],
-                jax.tree.map(lambda x: x[perm], batch.actor_carry0),
-                jax.tree.map(lambda x: x[perm], batch.critic_carry0),
-            )
+            perm = jax.random.permutation(key_epoch, n_envs)[: n_mb * seq_mb].reshape(n_mb, seq_mb)
 
-            def mb_fn(carry, i):
+            def mb_fn(carry, idx):
                 actor_params, critic_params, actor_opt, critic_opt = carry
-                lo = i * seq_mb
-                mb = tuple(
-                    jax.lax.dynamic_slice_in_dim(x, lo, seq_mb, axis=1) for x in shuf[:6]
-                ) + (
-                    jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, lo, seq_mb), shuf[6]),
-                    jax.tree.map(lambda x: jax.lax.dynamic_slice_in_dim(x, lo, seq_mb), shuf[7]),
+                mb = (
+                    batch.obs[:, idx],
+                    batch.actions[:, idx],
+                    batch.log_probs[:, idx],
+                    batch.advantages[:, idx],
+                    batch.returns[:, idx],
+                    batch.done[:, idx],
+                    jax.tree.map(lambda x: x[idx], batch.actor_carry0),
+                    jax.tree.map(lambda x: x[idx], batch.critic_carry0),
                 )
                 grad_fn = jax.value_and_grad(self._loss_recurrent, argnums=(0, 1), has_aux=True)
                 (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)
@@ -545,7 +537,7 @@ class PPO:
                 critic_params = optax.apply_updates(critic_params, c_updates)
                 return (actor_params, critic_params, actor_opt, critic_opt), aux
 
-            carry, auxes = jax.lax.scan(mb_fn, carry, jnp.arange(n_mb))
+            carry, auxes = jax.lax.scan(mb_fn, carry, perm)
             return carry, jax.tree.map(jnp.mean, auxes)
 
         keys = jax.random.split(key, cfg.epochs)
@@ -574,22 +566,16 @@ class PPO:
 
         def epoch_fn(carry, key_epoch):
             actor_params, critic_params, actor_opt, critic_opt = carry
-            # one shuffle-gather per epoch, then contiguous minibatch slices —
-            # dynamic gathers are ~1000x a matvec on this runtime
-            # (PERFORMANCE.md); the round-1 path gathered every minibatch
-            perm = jax.random.permutation(key_epoch, n)
-            shuf = (
-                flat.obs[perm],
-                flat.actions[perm],
-                flat.log_probs[perm],
-                flat.advantages[perm],
-                flat.returns[perm],
-            )
+            perm = jax.random.permutation(key_epoch, n)[: n_mb * mb_size].reshape(n_mb, mb_size)
 
-            def mb_fn(carry, i):
+            def mb_fn(carry, idx):
                 actor_params, critic_params, actor_opt, critic_opt = carry
-                mb = tuple(
-                    jax.lax.dynamic_slice_in_dim(x, i * mb_size, mb_size) for x in shuf
+                mb = (
+                    flat.obs[idx],
+                    flat.actions[idx],
+                    flat.log_probs[idx],
+                    flat.advantages[idx],
+                    flat.returns[idx],
                 )
                 grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
                 (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)
@@ -599,7 +585,7 @@ class PPO:
                 critic_params = optax.apply_updates(critic_params, c_updates)
                 return (actor_params, critic_params, actor_opt, critic_opt), aux
 
-            carry, auxes = jax.lax.scan(mb_fn, carry, jnp.arange(n_mb))
+            carry, auxes = jax.lax.scan(mb_fn, carry, perm)
             return carry, jax.tree.map(jnp.mean, auxes)
 
         keys = jax.random.split(key, cfg.epochs)
