@@ -43,24 +43,27 @@ def _floats(s: str | None, default=None):
     return tuple(float(v) for v in s.replace(",", " ").split())
 
 
+def _quat_mul(q, r):
+    w1, x1, y1, z1 = q
+    w2, x2, y2, z2 = r
+    return (
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    )
+
+
 def _euler_to_quat(euler, degrees: bool):
-    """MuJoCo default eulerseq 'xyz' (extrinsic x, then y, then z)."""
+    """MuJoCo default eulerseq 'xyz'. Lowercase letters mean INTRINSIC
+    rotations (each about the already-rotated frame), so the quaternion
+    composes in sequence order: q = qx ⊗ qy ⊗ qz."""
     e = [math.radians(v) for v in euler] if degrees else list(euler)
-    quats = []
+    q = (1.0, 0.0, 0.0, 0.0)
     for axis, ang in zip(((1, 0, 0), (0, 1, 0), (0, 0, 1)), e):
         h = 0.5 * ang
-        quats.append((math.cos(h), axis[0] * math.sin(h), axis[1] * math.sin(h), axis[2] * math.sin(h)))
-    # extrinsic xyz: q = qz * qy * qx
-    q = quats[0]
-    for qn in quats[1:]:
-        w1, x1, y1, z1 = qn
-        w2, x2, y2, z2 = q
-        q = (
-            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-        )
+        qn = (math.cos(h), axis[0] * math.sin(h), axis[1] * math.sin(h), axis[2] * math.sin(h))
+        q = _quat_mul(q, qn)
     return q
 
 
@@ -241,8 +244,14 @@ def import_mjcf(
         for mtr in act_root:
             if mtr.tag not in ("motor", "position", "general"):
                 continue
+            # MuJoCo autolimits (default since 2.2): a ctrlrange alone is
+            # binding unless ctrllimited='false'. Only with <compiler
+            # autolimits='false'> does the limit require an explicit
+            # ctrllimited='true'.
+            autolimits = (compiler is None) or (compiler.get("autolimits", "true") in ("true", "1"))
+            limited = dfl.get(mtr, "motor", "ctrllimited")
             rng = None
-            if dfl.get(mtr, "motor", "ctrllimited", "false") in ("true", "1"):
+            if limited in ("true", "1") or (autolimits and limited not in ("false", "0")):
                 rng = _floats(dfl.get(mtr, "motor", "ctrlrange"))
             gear = _floats(dfl.get(mtr, "motor", "gear"), (1.0,))[0]
             actuators.append(Actuator(joint=mtr.get("joint"), gear=gear, ctrlrange=rng))

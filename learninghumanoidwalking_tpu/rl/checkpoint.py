@@ -91,7 +91,16 @@ class Checkpointer:
                 raise FileNotFoundError(f"no checkpoints under {self.ckpt_dir}")
             path = (self.ckpt_dir / str(itr)).absolute()
         restored = self._saver.restore(path, self._persistable(target))
-        return target.replace(**restored)
+        out = target.replace(**restored)
+        # The env batch is rebuilt fresh on resume (iteration leaf = 0) while
+        # ts.iteration resumes at the checkpointed value; re-sync the per-env
+        # curriculum counter so in-env readers see the resumed iteration.
+        # Leaf arithmetic (x*0 + itr) preserves any mesh sharding on the leaf.
+        env_state = getattr(out, "env_state", None)
+        if env_state is not None and hasattr(env_state, "iteration"):
+            it = env_state.iteration * 0 + jax.numpy.asarray(out.iteration, env_state.iteration.dtype)
+            out = out.replace(env_state=env_state.replace(iteration=it))
+        return out
 
 
 def _has_checkpoints(p: Path) -> bool:

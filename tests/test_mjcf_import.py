@@ -116,3 +116,53 @@ def test_parse_defaults_and_euler():
     assert spec.actuators[0].gear == 5.0
     model = lower(spec)
     assert model.nu == 1 and model.nq == 8
+
+
+def test_multi_axis_euler_matches_mujoco():
+    """MuJoCo's lowercase eulerseq is INTRINSIC: euler='90 45 30' must compose
+    q = qx ⊗ qy ⊗ qz. Asserted against mujoco's own compiler."""
+    mujoco = pytest.importorskip("mujoco")
+    xml = """
+    <mujoco model='e'>
+      <compiler angle='degree'/>
+      <worldbody>
+        <body name='b' pos='0 0 1' euler='90 45 30'>
+          <inertial pos='0 0 0' mass='1' diaginertia='0.1 0.1 0.1'/>
+          <geom type='box' size='0.1 0.1 0.1'/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    m = mujoco.MjModel.from_xml_string(xml)
+    spec = import_mjcf(xml)
+    np.testing.assert_allclose(spec.bodies[0].quat, m.body_quat[1], atol=1e-6)
+
+
+def test_ctrlrange_autolimits():
+    """MuJoCo autolimits (default since 2.2): ctrlrange alone is binding;
+    ctrllimited='false' disables it; <compiler autolimits='false'> restores
+    the explicit-attribute behavior."""
+    tpl = """
+    <mujoco model='a'>
+      <compiler angle='degree'{auto}/>
+      <worldbody>
+        <body name='b' pos='0 0 1'>
+          <joint name='j' type='hinge' axis='0 0 1'/>
+          <inertial pos='0 0 0' mass='1' diaginertia='0.1 0.1 0.1'/>
+          <geom type='box' size='0.1 0.1 0.1'/>
+        </body>
+      </worldbody>
+      <actuator><motor joint='j' gear='2'{lim} ctrlrange='-1 1'/></actuator>
+    </mujoco>
+    """
+    # modern MJCF: no ctrllimited attribute, range still binds
+    s = import_mjcf(tpl.format(auto="", lim=""))
+    assert s.actuators[0].ctrlrange == (-1.0, 1.0)
+    # explicit off
+    s = import_mjcf(tpl.format(auto="", lim=" ctrllimited='false'"))
+    assert s.actuators[0].ctrlrange is None
+    # autolimits off: range needs ctrllimited='true'
+    s = import_mjcf(tpl.format(auto=" autolimits='false'", lim=""))
+    assert s.actuators[0].ctrlrange is None
+    s = import_mjcf(tpl.format(auto=" autolimits='false'", lim=" ctrllimited='true'"))
+    assert s.actuators[0].ctrlrange == (-1.0, 1.0)
