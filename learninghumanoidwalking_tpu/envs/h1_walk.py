@@ -29,12 +29,13 @@ class H1WalkEnv(WalkingTaskMixin, HumanoidEnv):
 
     def __init__(self, path_to_yaml: str | None = None):
         self.cfg = load_config("h1_walk.yaml", path_to_yaml)
-        self.model = lower(h1.h1_spec())
+        self.spec = h1.h1_spec()
+        self.model = lower(self.spec)
 
         gains = self.cfg.pdgains.to_dict()
         kp, kd = zip(*[gains[j] for j in h1.LEG_JOINTS])
-        self.kp = jnp.asarray(kp, dtype=jnp.float32)
-        self.kd = jnp.asarray(kd, dtype=jnp.float32)
+        self.kp = np.asarray(kp, dtype=np.float32)
+        self.kd = np.asarray(kd, dtype=np.float32)
 
         pose = np.asarray(self.cfg.half_sitting_pose, dtype=np.float32)
         self.nominal_qpos = np.concatenate(

@@ -58,6 +58,10 @@ class HumanoidEnv(Env):
         self.action_smoothing = float(cfg.action_smoothing or 0.5)
         self.action_size = m.nu
 
+        # whether _terrain(task) yields real terrain (box envs set this via
+        # nterrain; hfield-only envs override to True after _finalize)
+        self.has_terrain = m.nterrain > 0
+
         self.root_idx = m.body_names.index(self.ROOT_BODY)
         self.head_idx = m.body_names.index(self.HEAD_BODY)
         lfoot = set(m.left_foot_geoms)
@@ -65,15 +69,17 @@ class HumanoidEnv(Env):
         self.lfoot_idx = m.body_names.index(self.LFOOT_BODY)
         self.rfoot_idx = m.body_names.index(self.RFOOT_BODY)
         # static contact-slot -> foot masks (engine.slots_per_geom per geom)
+        # host numpy constants (embedded into jits at trace time; eager
+        # device puts cost tunnel roundtrips — see physics/spec.py lower())
         slot_geoms = []
         for gi in m.foot_geoms:
             slot_geoms += [gi] * engine.slots_per_geom(m)
-        self._lslot = jnp.asarray([1.0 if g in lfoot else 0.0 for g in slot_geoms])
-        self._rslot = jnp.asarray([1.0 if g in rfoot else 0.0 for g in slot_geoms])
+        self._lslot = np.asarray([1.0 if g in lfoot else 0.0 for g in slot_geoms], np.float32)
+        self._rslot = np.asarray([1.0 if g in rfoot else 0.0 for g in slot_geoms], np.float32)
 
-        self.act_qpos = jnp.asarray(m.actuator_qpos)
-        self.act_dof = jnp.asarray(m.actuator_dof)
-        self.neutral_pose = jnp.asarray(self.nominal_qpos[np.asarray(m.actuator_qpos)])
+        self.act_qpos = np.asarray(m.actuator_qpos)
+        self.act_dof = np.asarray(m.actuator_dof)
+        self.neutral_pose = np.asarray(self.nominal_qpos[np.asarray(m.actuator_qpos)], np.float32)
         self.robot_mass = float(np.sum(np.asarray(m.body_mass)))
 
         nrobot = 5 + 2 * m.nu + (m.nu if self.include_torque_obs else 0)
@@ -113,7 +119,7 @@ class HumanoidEnv(Env):
             scale_vec[5 + m.nu : 5 + 2 * m.nu] = float(s.motor_vel or 0.0) * mult
             if self.include_torque_obs:
                 scale_vec[5 + 2 * m.nu :] = float(s.motor_tau or 0.0) * mult
-            self.obs_noise_scale = jnp.asarray(scale_vec)
+            self.obs_noise_scale = scale_vec
 
         # optional learned motor-dynamics hook (robot_interface.py:25-58,
         # :510-533): per-joint nets over a 25-substep (qdot, cmd-tau) history.
@@ -304,7 +310,7 @@ class HumanoidEnv(Env):
         else:
             physics, dyn, task, k_obs, key = jax.vmap(self._reset_pre)(keys, iteration)
         batch = keys.shape[0]
-        terrain = jax.vmap(self._terrain)(task) if self.model.nterrain > 0 else None
+        terrain = jax.vmap(self._terrain)(task) if self.has_terrain else None
         if self._use_kernel(batch):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 
@@ -383,7 +389,7 @@ class HumanoidEnv(Env):
             return jax.vmap(self.step)(states, actions)
 
         full_target = jax.vmap(self._pre_step)(states, actions)
-        terrain = jax.vmap(self._terrain)(states.task) if self.model.nterrain > 0 else None
+        terrain = jax.vmap(self._terrain)(states.task) if self.has_terrain else None
         if self._use_kernel(actions.shape[0]):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 

@@ -34,10 +34,11 @@ class JvrcStepEnv(HumanoidEnv):
 
     def __init__(self, path_to_yaml: str | None = None):
         self.cfg = load_config("jvrc_base.yaml", path_to_yaml)
-        self.model = lower(jvrc.jvrc_spec(nterrain=stepping.NBOXES))
+        self.spec = jvrc.jvrc_spec(nterrain=stepping.NBOXES)
+        self.model = lower(self.spec)
 
-        self.kp = jnp.asarray(self.cfg.kp, dtype=jnp.float32)
-        self.kd = jnp.asarray(self.cfg.kd, dtype=jnp.float32)
+        self.kp = np.asarray(self.cfg.kp, dtype=np.float32)
+        self.kd = np.asarray(self.cfg.kd, dtype=np.float32)
 
         pose = np.deg2rad(np.asarray(self.cfg.half_sitting_pose, dtype=np.float32))
         self.nominal_qpos = np.concatenate(
@@ -53,12 +54,12 @@ class JvrcStepEnv(HumanoidEnv):
             float(task_cfg.swing_duration), float(task_cfg.stance_duration), 0.1, "grounded", freq
         )
         self.period = int(np.floor(2 * float(task_cfg.total_duration) * freq))
-        self.clock_table = jnp.asarray(table)
+        self.clock_table = np.asarray(table, np.float32)
         self.delay_frames = int(np.floor(float(task_cfg.swing_duration) / self.control_dt))
 
         plans, plan_lengths = plan_bank()
-        self.plans = jnp.asarray(plans)
-        self.plan_lengths = jnp.asarray(plan_lengths)
+        self.plans = np.asarray(plans, np.float32)
+        self.plan_lengths = np.asarray(plan_lengths)
 
         self._setup_mirror()
         self.obs_mean = np.concatenate([np.zeros(5), pose, np.zeros(12), [0.5, 0.5], np.zeros(8)])

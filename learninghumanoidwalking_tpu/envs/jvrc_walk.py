@@ -27,10 +27,11 @@ class JvrcWalkEnv(WalkingTaskMixin, HumanoidEnv):
 
     def __init__(self, path_to_yaml: str | None = None):
         self.cfg = load_config("jvrc_base.yaml", path_to_yaml)
-        self.model = lower(jvrc.jvrc_spec())
+        self.spec = jvrc.jvrc_spec()
+        self.model = lower(self.spec)
 
-        self.kp = jnp.asarray(self.cfg.kp, dtype=jnp.float32)
-        self.kd = jnp.asarray(self.cfg.kd, dtype=jnp.float32)
+        self.kp = np.asarray(self.cfg.kp, dtype=np.float32)
+        self.kd = np.asarray(self.cfg.kd, dtype=np.float32)
 
         pose = np.deg2rad(np.asarray(self.cfg.half_sitting_pose, dtype=np.float32))
         self.nominal_qpos = np.concatenate(

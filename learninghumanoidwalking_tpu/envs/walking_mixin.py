@@ -46,8 +46,8 @@ class WalkingTaskMixin:
         # the clock-table length (total = swing + stance in all configs)
         if self.period != table.shape[0]:
             table = np.resize(table, (self.period, 4))
-        self.clock_table = jnp.asarray(table)
-        self.dbl_support = jnp.asarray(rewards.double_support_mask(table))
+        self.clock_table = np.asarray(table, np.float32)
+        self.dbl_support = np.asarray(rewards.double_support_mask(table), np.float32)
 
     # task hooks -------------------------------------------------------------
 

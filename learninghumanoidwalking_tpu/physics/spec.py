@@ -185,8 +185,6 @@ def _diagonalize(inertia: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def lower(spec: RobotSpec) -> m.Model:
     """Compile a RobotSpec into a Model of flat arrays + static metadata."""
-    import jax.numpy as jnp
-
     names = [b.name for b in spec.bodies]
     if len(set(names)) != len(names):
         raise ValueError("duplicate body names")
@@ -333,7 +331,12 @@ def lower(spec: RobotSpec) -> m.Model:
         act_names.append(a.joint)
     nu = len(act_body)
 
-    f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+    # Host numpy, NOT device arrays: model constants embed into jitted
+    # programs at trace time; eager device puts here cost seconds each
+    # through the tunneled axon runtime and a fetch (np.asarray on a device
+    # array) can stall for minutes. Keeping the model host-side makes env
+    # construction device-free.
+    f32 = lambda x: np.asarray(x, dtype=np.float32)
     return m.Model(
         nq=nq,
         nv=nv,

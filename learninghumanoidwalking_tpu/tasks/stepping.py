@@ -247,7 +247,7 @@ def compute_reward(
     contact_point_z,
 ) -> jnp.ndarray:
     """6-term weighted reward (stepping_task.py:79-123)."""
-    clocks = clock_table[ts.phase]
+    clocks = jnp.asarray(clock_table)[ts.phase]
     standing = ts.mode == STANDING
     r_frc = jnp.where(standing, 1.0, clocks[0])
     r_vel = jnp.where(standing, -1.0, clocks[1])

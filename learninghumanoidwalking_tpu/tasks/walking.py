@@ -73,7 +73,7 @@ def step(key: jnp.ndarray, ts: WalkingState, period: int, dbl_support: jnp.ndarr
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     # INPLACE <-> STANDING, only in double support, p = 1/100
-    in_dbl = dbl_support[phase]
+    in_dbl = jnp.asarray(dbl_support)[phase]
     ev1 = jnp.logical_and(jax.random.randint(k1, (), 0, 100) == 0, in_dbl)
     mode = ts.mode
     toggled1 = jnp.select([mode == INPLACE, mode == STANDING], [STANDING, INPLACE], mode)
@@ -125,7 +125,7 @@ def compute_reward(
     prev_action: jnp.ndarray,
 ) -> jnp.ndarray:
     """Weighted 10-term reward vector (walking_task.py:85-147)."""
-    clocks = clock_table[ts.phase]
+    clocks = jnp.asarray(clock_table)[ts.phase]
     standing = ts.mode == STANDING
     # STANDING overrides clocks: both feet in stance (frc +1, vel -1)
     r_frc = jnp.where(standing, 1.0, clocks[0])
