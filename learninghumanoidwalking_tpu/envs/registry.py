@@ -20,6 +20,13 @@ ENVIRONMENTS: dict[str, tuple[str, str]] = {
 
 
 def make_env(name: str, path_to_yaml: str | None = None):
+    if name.startswith("mjcf:"):
+        # env built from an MJCF robot description file (the reference's
+        # model-ingest path, envs/common/mujoco_env.py:24-26); the YAML names
+        # contact/observation roles — see configs/mjcf_base.yaml
+        from learninghumanoidwalking_tpu.envs.mjcf_env import MjcfWalkEnv
+
+        return MjcfWalkEnv(name[len("mjcf:"):], path_to_yaml)
     if name not in ENVIRONMENTS:
         raise ValueError(f"unknown env {name!r}; available: {sorted(ENVIRONMENTS)}")
     module_name, cls_name = ENVIRONMENTS[name]

@@ -51,6 +51,18 @@ class Configuration:
         value = self._data.get(name, None)
         return default if value is None else value
 
+    def merged(self, other: "Configuration") -> "Configuration":
+        """Deep merge: other's values win; nested Configurations recurse."""
+        out = Configuration()
+        out._data = dict(self._data)
+        for key, value in other._data.items():
+            mine = out._data.get(key)
+            if isinstance(mine, Configuration) and isinstance(value, Configuration):
+                out._data[key] = mine.merged(value)
+            else:
+                out._data[key] = value
+        return out
+
     def to_dict(self) -> dict:
         out = {}
         for key, value in self._data.items():
