@@ -1,29 +1,47 @@
 """Throughput benchmark: env steps/sec on the jvrc_walk hot path.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
-auxiliary fields: end-to-end training fps and an HW-utilization estimate).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary fields (end-to-end training fps, an on-chip kernel-vs-XLA-engine
+correctness check, and a HW-utilization estimate).
 
 The measured quantity is the full on-device sampling path (policy forward +
-25 PD+physics substeps per control step + task/reward/obs + auto-reset) for a
-batch of jvrc_walk humanoids — the TPU replacement for the reference's
+25 PD+physics substeps per control step + task/reward/obs + auto-reset + GAE)
+for a batch of jvrc_walk humanoids — `ppo._sample_iter`, the exact program
+every training iteration runs. It is the TPU replacement for the reference's
 Ray-worker sampling loop whose fps it logs per iteration
 (/root/reference/rl/algos/ppo.py:587-595). The reference publishes no numbers
 (BASELINE.md); vs_baseline is measured against the driver-set north star of
 10M env steps/s (BASELINE.json).
+
+Wall-clock discipline: the driver runs this under a timeout, and XLA compiles
+cost minutes on this 1-core host. Two defenses:
+  1. The persistent compilation cache ships WITH the repo (.jax_cache/), so a
+     driver run is warm: every jit here hits the on-disk cache.
+  2. Every section after the headline measurement checks the remaining
+     budget (BENCH_BUDGET_S, default 480 s) against that section's known
+     cold-compile cost and is skipped when it would not fit — so the JSON
+     line always prints, even fully cold.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
+T0 = time.time()
 NUM_ENVS = 32768
 ROLLOUT_LEN = 16
 BASELINE_TARGET = 10_000_000.0  # env steps/s north star (BASELINE.json)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 # v5e peak: 197 TFLOP/s bf16 on the MXU. The physics kernel is VPU fp32
-# (elementwise) work, so "MFU" here is a utilization *estimate*: XLA-counted
+# (elementwise) work, so "MFU" here is a utilization *estimate*: counted
 # flops per second over the bf16 MXU peak — a lower bound on headroom.
 V5E_PEAK_FLOPS = 197e12
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.time() - T0)
 
 
 def _kernel_flops_per_env_substep(model) -> float:
@@ -75,91 +93,141 @@ def _kernel_flops_per_env_substep(model) -> float:
     return flops
 
 
-def main():
+def _kernel_check(env, batch: int = 256) -> dict:
+    """Fidelity gate on the production physics path: the Mosaic-COMPILED
+    mega-kernel vs the XLA batched engine, on the real chip, at the
+    tests/test_kernel.py tolerances (those tests run interpret-mode on CPU;
+    this is the only place the compiled kernel itself is asserted). Plays the
+    role /root/reference/scripts/test_contact_behavior.py:38-143 plays for
+    the reference: verify the engine you are about to benchmark."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
+    from learninghumanoidwalking_tpu.ops import substep_kernel as sk
+    from learninghumanoidwalking_tpu.physics import batched, engine
+    from learninghumanoidwalking_tpu.physics.model import default_dyn_params
+
+    model = env.model
+    rng = np.random.default_rng(0)
+    qpos = np.tile(np.asarray(env.nominal_qpos, np.float32)[None], (batch, 1))
+    qpos[:, :2] += 0.01 * rng.standard_normal((batch, 2)).astype(np.float32)
+    qvel = (0.05 * rng.standard_normal((batch, model.nv))).astype(np.float32)
+    target = (
+        np.asarray(env.neutral_pose, np.float32)[None]
+        + 0.05 * rng.standard_normal((batch, model.nu)).astype(np.float32)
+    )
+    p1 = default_dyn_params(model, env.kp, env.kd)
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), p1)
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(
+        jnp.asarray(qpos), jnp.asarray(qvel)
+    )
+    tgt = jnp.asarray(target)
+    run_k = jax.jit(lambda s: sk.pd_substeps_kernel(model, params, s, tgt, env.frame_skip, env.sim_dt))
+    run_b = jax.jit(lambda s: batched.pd_substeps_batched(model, params, s, tgt, env.frame_skip, env.sim_dt))
+    out_k, out_b = run_k(states), run_b(states)
+
+    q_err = float(jnp.max(jnp.abs(out_k.qpos - out_b.qpos)))
+    grf_k = jnp.sum(jnp.linalg.norm(out_k.contact.force, axis=-1) * out_k.contact.mask, axis=1)
+    grf_b = jnp.sum(jnp.linalg.norm(out_b.contact.force, axis=-1) * out_b.contact.mask, axis=1)
+    grf_err = float(jnp.max(jnp.abs(grf_k - grf_b) / (jnp.abs(grf_b) + 50.0)))
+    ok = (q_err < 5e-5) and (grf_err < 0.02)
+    return {
+        "kernel_check": "ok" if ok else "FAIL",
+        "kernel_check_qpos_maxerr": round(q_err, 8),
+        "kernel_check_grf_relerr": round(grf_err, 5),
+    }
+
+
+def main():
+    import jax
+
+    # Repo-local persistent compile cache (shipped in git) so the driver's
+    # run is warm; fall back to /tmp if the repo dir is not writable.
+    for cache_dir in (
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        "/tmp/lhw_jax_cache",
+    ):
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            break
+        except Exception:
+            continue
+
     from learninghumanoidwalking_tpu.envs import make_env
     from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig
-
-    try:  # persistent compile cache (compiles cost minutes on this host)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
 
     env = make_env("jvrc_walk")
     cfg = PPOConfig(num_envs=NUM_ENVS, rollout_len=ROLLOUT_LEN, minibatch_size=32768, max_traj_len=400)
     ppo = PPO(env, cfg)
     ts = ppo.init_state(jax.random.PRNGKey(0))
 
-    rollout = jax.jit(lambda ts, key: ppo._rollout(ts, key, False)[2]["reward"].sum())
-
-    key = jax.random.PRNGKey(1)
-    # compile + warm up; float() forces a fetch — block_until_ready does not
-    # reliably block on the tunneled axon runtime
-    float(rollout(ts, key))
-
+    # ----- headline: full sampling path via the ONE jitted program training
+    # uses (float() forces a fetch — block_until_ready is unreliable on the
+    # tunneled axon runtime)
+    ts, batch, k_upd, rm = ppo._sample_iter(ts)
+    float(rm["mean_reward"])  # compile + warm up
     n_iters = 5
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        float(rollout(ts, jax.random.fold_in(key, i)))
+    for _ in range(n_iters):
+        ts, batch, k_upd, rm = ppo._sample_iter(ts)
+        float(rm["mean_reward"])
     dt = time.perf_counter() - t0
+    sps = NUM_ENVS * ROLLOUT_LEN * n_iters / dt
 
-    steps = NUM_ENVS * ROLLOUT_LEN * n_iters
-    sps = steps / dt
+    result = {
+        "metric": f"jvrc_walk env steps/sec ({NUM_ENVS} envs, single chip)",
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(sps / BASELINE_TARGET, 4),
+        # 25 physics substeps per env step
+        "env_substep_ns": round(1e9 / (sps * env.frame_skip), 2),
+    }
 
-    # hardware-utilization estimate from XLA's cost analysis of the rollout
-    flops_per_call = None
-    try:
-        cost = jax.jit(lambda ts, key: ppo._rollout(ts, key, False)[2]["reward"].sum()).lower(ts, key).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_call = float(cost.get("flops", 0.0))
-    except Exception:
-        pass
-    util = round(flops_per_call * n_iters / dt / V5E_PEAK_FLOPS, 4) if flops_per_call else None
+    # ----- extras, in priority order, each gated on the budget it would need
+    # fully cold so the JSON line always prints
 
-    # end-to-end training fps (rollout + GAE + PPO update), one full iteration
-    ts2, batch, k_upd, rm = ppo._sample_iter(ts)
-    float(rm["mean_reward"])  # compile sample
-    ts3, aux = ppo._optimize_iter(ts2, batch, k_upd)
-    float(aux["actor_loss"])  # compile optimize
-    t0 = time.perf_counter()
-    n_train = 3
-    for i in range(n_train):
-        ts2, batch, k_upd, rm = ppo._sample_iter(ts2)
-        ts2, aux = ppo._optimize_iter(ts2, batch, k_upd)
-        float(aux["actor_loss"])
-    train_fps = NUM_ENVS * ROLLOUT_LEN * n_train / (time.perf_counter() - t0)
+    # end-to-end training fps (rollout + GAE + PPO update)
+    if _remaining() > 60:
+        try:
+            ts2, aux = ppo._optimize_iter(ts, batch, k_upd)
+            float(aux["actor_loss"])  # compile
+            n_train = 3
+            t0 = time.perf_counter()
+            for _ in range(n_train):
+                ts2, batch, k_upd, rm = ppo._sample_iter(ts2)
+                ts2, aux = ppo._optimize_iter(ts2, batch, k_upd)
+                float(aux["actor_loss"])
+            train_fps = NUM_ENVS * ROLLOUT_LEN * n_train / (time.perf_counter() - t0)
+            result["training_fps"] = round(train_fps, 1)
+            result["training_vs_sample"] = round(train_fps / sps, 3)
+        except Exception as e:  # never lose the headline
+            result["training_fps"] = None
+            result["training_error"] = repr(e)[:200]
 
-    # 25 physics substeps per env step: the headroom-relevant number is how
-    # many ns one env-substep costs on the chip (the kernel is VPU fp32
-    # elementwise work; XLA's flop count sees through neither the pallas
-    # custom call nor VPU-vs-MXU peaks, so hw_utilization_est is a lower
-    # bound from the non-kernel ops only)
-    substep_ns = 1e9 / (sps * 25.0)
-    try:
-        kernel_flops = _kernel_flops_per_env_substep(env.model)
-        kernel_gflops = kernel_flops * sps * 25.0 / 1e9
-    except Exception:
-        kernel_flops, kernel_gflops = None, None
+    # compiled-kernel-vs-XLA-engine correctness gate on the real chip
+    if _remaining() > 300:
+        try:
+            result.update(_kernel_check(env))
+        except Exception as e:
+            result["kernel_check"] = "error: " + repr(e)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": f"jvrc_walk env steps/sec ({NUM_ENVS} envs, single chip)",
-                "value": round(sps, 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(sps / BASELINE_TARGET, 4),
-                "training_fps": round(train_fps, 1),
-                "env_substep_ns": round(substep_ns, 2),
-                "kernel_flops_per_env_substep": kernel_flops,
-                "kernel_gflops": round(kernel_gflops, 1) if kernel_gflops else None,
-                "hw_utilization_est": util,
-            }
-        )
-    )
+    # analytic kernel FLOPs -> utilization estimate (host-side tracing)
+    if _remaining() > 90:
+        try:
+            kernel_flops = _kernel_flops_per_env_substep(env.model)
+            result["kernel_flops_per_env_substep"] = kernel_flops
+            result["kernel_gflops"] = round(kernel_flops * sps * env.frame_skip / 1e9, 1)
+            result["hw_utilization_est"] = round(
+                kernel_flops * sps * env.frame_skip / V5E_PEAK_FLOPS, 4
+            )
+        except Exception:
+            pass
+
+    result["bench_wall_s"] = round(time.time() - T0, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -39,12 +39,18 @@ def normc_init(scale: float = 1.0):
 
 
 class MLPTrunk(nn.Module):
+    """2x256 ReLU trunk. `dtype` sets the COMPUTE precision of the hidden
+    matmuls (params stay float32): bfloat16 runs them single-pass on the
+    TPU MXU (~3x faster than float32's multi-pass emulation); the output
+    heads stay float32 so action means / values keep full precision."""
+
     hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for h in self.hidden:
-            x = nn.relu(nn.Dense(h, kernel_init=normc_init(1.0))(x))
+            x = nn.relu(nn.Dense(h, kernel_init=normc_init(1.0), dtype=self.dtype)(x))
         return x
 
 
@@ -56,11 +62,12 @@ class GaussianActor(nn.Module):
     init_std: float = 0.223
     learn_std: bool = False
     bounded: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = MLPTrunk(self.hidden)(obs)
-        mean = nn.Dense(self.action_dim, kernel_init=normc_init(0.01))(x)
+        x = MLPTrunk(self.hidden, dtype=self.dtype)(obs)
+        mean = nn.Dense(self.action_dim, kernel_init=normc_init(0.01), dtype=jnp.float32)(x)
         if self.bounded:
             mean = jnp.tanh(mean)
         if self.learn_std:
@@ -74,11 +81,12 @@ class Critic(nn.Module):
     """FF value function (reference FF_V, critic.py:15-50)."""
 
     hidden: Sequence[int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = MLPTrunk(self.hidden)(obs)
-        return nn.Dense(1, kernel_init=normc_init(0.01))(x)[..., 0]
+        x = MLPTrunk(self.hidden, dtype=self.dtype)(obs)
+        return nn.Dense(1, kernel_init=normc_init(0.01), dtype=jnp.float32)(x)[..., 0]
 
 
 class LSTMCore(nn.Module):

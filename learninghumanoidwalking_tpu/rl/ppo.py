@@ -63,6 +63,9 @@ class PPOConfig:
     recurrent: bool = False
     input_norm_iters: int = 5  # obs-norm warmup iterations (ppo.py:441-457)
     seed: int = 0
+    # compute precision of the FF net hidden matmuls ("bfloat16" runs them
+    # single-pass on the TPU MXU; params and output heads stay float32)
+    net_dtype: str = "bfloat16"
 
     @property
     def batch_size(self) -> int:
@@ -140,13 +143,15 @@ class PPO:
             self.critic_def = networks.LSTMCritic()
             self.hidden_sizes = tuple(self.actor_def.hidden)
         else:
+            net_dtype = jnp.dtype(config.net_dtype)
             self.actor_def = networks.GaussianActor(
                 action_dim=env.action_size,
                 init_std=config.std_dev,
                 learn_std=config.learn_std,
                 bounded=False,
+                dtype=net_dtype,
             )
-            self.critic_def = networks.Critic()
+            self.critic_def = networks.Critic(dtype=net_dtype)
 
         # apply_if_finite: a single blown minibatch must not poison the
         # parameters (the env layer also terminates non-finite envs)
@@ -181,8 +186,11 @@ class PPO:
         # two jitted segments (rollout+GAE vs update) so Time/sample_time and
         # Time/optimize_time are real wall-clock splits (reference
         # ppo.py:480-481,568-569); _train_iter composes them
-        self._sample_iter = jax.jit(self._sample_iteration)
-        self._optimize_iter = jax.jit(self._optimize_iteration)
+        # donation: the previous TrainState and the rollout batch are dead
+        # after each call — letting XLA alias their buffers avoids copying
+        # the multi-GB env batch + trajectory arrays every iteration
+        self._sample_iter = jax.jit(self._sample_iteration, donate_argnums=(0,))
+        self._optimize_iter = jax.jit(self._optimize_iteration, donate_argnums=(0, 1))
         self._eval_iter = jax.jit(self._eval_rollout)
         self._warmup_iter = jax.jit(self._warmup_iteration)
 
@@ -209,7 +217,14 @@ class PPO:
             norm = init_norm((self.env.obs_size,))
 
         env_keys = jax.random.split(k_env, self.cfg.num_envs)
-        env_state = self.env.reset_batch(env_keys)
+        # jit the init reset on accelerators: eager dispatch of its hundreds
+        # of small ops costs minutes of tunnel roundtrips on the axon
+        # runtime at large B (and the jitted program lands in the persistent
+        # compile cache). On CPU (tests) eager is faster than compiling.
+        if jax.default_backend() == "cpu":
+            env_state = self.env.reset_batch(env_keys)
+        else:
+            env_state = jax.jit(self.env.reset_batch)(env_keys)
         return TrainState(
             actor_params=actor_params,
             critic_params=critic_params,
@@ -747,6 +762,7 @@ class PPO:
         checkpointer=None,
         init_ts: TrainState | None = None,
         verbose: bool = True,
+        profile_dir: str | None = None,
     ) -> TrainState:
         cfg = self.cfg
         n_itr = n_itr if n_itr is not None else cfg.n_itr
@@ -760,7 +776,18 @@ class PPO:
 
         start = time.time()
         best_eval = -np.inf
+        tracing = False
         for itr in range(n_itr):
+            # optional profiler capture of post-compile iterations 2-4
+            # (SURVEY §5 tracing; view with tensorboard/xprof)
+            if profile_dir is not None and itr == 2:
+                jax.profiler.start_trace(str(profile_dir))
+                tracing = True
+            if profile_dir is not None and itr == 5:
+                jax.profiler.stop_trace()
+                tracing = False
+                if verbose:
+                    print(f"profiler trace (iterations 2-4) written to {profile_dir}", flush=True)
             t0 = time.time()
             ts, batch, k_upd, roll_metrics = self._sample_iter(ts)
             # force a fetch: block_until_ready is unreliable on the axon
@@ -802,4 +829,6 @@ class PPO:
                     is_best = eval_metrics["eval_mean_reward"] > best_eval
                     best_eval = max(best_eval, eval_metrics["eval_mean_reward"])
                     checkpointer.save(itr, ts, metrics=eval_metrics, is_best=is_best)
+        if tracing:  # n_itr ended before the stop iteration
+            jax.profiler.stop_trace()
         return ts

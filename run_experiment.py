@@ -71,6 +71,13 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--yaml", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n-devices", type=int, default=None, help="mesh size (default: all devices)")
+    p.add_argument(
+        "--profile-dir",
+        type=Path,
+        default=None,
+        help="capture a jax.profiler trace of training iterations 2-4 into "
+        "this directory (view with tensorboard or xprof)",
+    )
     return p
 
 
@@ -155,7 +162,13 @@ def train(argv):
         init_ts = shard_train_state(init_ts, mesh, cfg.num_envs)
         print(f"sharding {cfg.num_envs} envs over {len(mesh.devices.flat)} devices")
 
-    ppo.train(n_itr=args.n_itr, logger=logger, checkpointer=checkpointer, init_ts=init_ts)
+    ppo.train(
+        n_itr=args.n_itr,
+        logger=logger,
+        checkpointer=checkpointer,
+        init_ts=init_ts,
+        profile_dir=str(args.profile_dir) if args.profile_dir else None,
+    )
 
 
 def evaluate(argv):
