@@ -31,7 +31,8 @@ class CartpoleEnv(Env):
         self.sim_dt = 0.005
         self.control_dt = 0.02
         self.frame_skip = int(round(self.control_dt / self.sim_dt))
-        self.model = lower(cartpole_spec())
+        self.spec = cartpole_spec()
+        self.model = lower(self.spec)
         self.kp = jnp.array([100.0])
         self.kd = jnp.array([10.0])
         self.base_obs_len = 5

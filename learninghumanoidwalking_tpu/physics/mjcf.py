@@ -27,6 +27,8 @@ def export_mjcf(
     with_floor: bool = True,
     terrain_boxes=None,
     floor_z: float = 0.0,
+    visual: bool = False,
+    hfield=None,
 ) -> str:
     """Serialize a RobotSpec to an MJCF XML string.
 
@@ -36,17 +38,58 @@ def export_mjcf(
     terrain_boxes: optional iterable of (pos(3), size(3), yaw) static world
     boxes — the MuJoCo twin of engine.Terrain for stepping-stone goldens
     (/root/reference/tasks/stepping_task.py:320-334).
+
+    hfield: optional (nrow, ncol, rx, ry, zmax) — emits a MuJoCo heightfield
+    asset + geom centered at (0, 0, floor_z), the twin of Terrain.hfield for
+    the hfield goldens (the reference's jittered rough-terrain hfield,
+    /root/reference/tasks/walking_task.py:173-179). The caller fills
+    mj_model.hfield_data (normalized [0, 1], row-major y-then-x) after
+    loading; heights = data * zmax above floor_z.
+
+    visual: add lights / checker-floor material / body colors for offscreen
+    rendering (rl/render_gl.py); goldens keep the bare model.
     """
     import math
 
     out = io.StringIO()
     out.write(f"<mujoco model='{spec.name}'>\n")
     out.write(f"  <option timestep='{timestep}' gravity='{_fmt(spec.gravity)}'/>\n")
+    if hfield is not None:
+        nrow, ncol, rx, ry, zmax = hfield
+        out.write(
+            "  <asset>\n"
+            f"    <hfield name='terrain_hf' nrow='{int(nrow)}' ncol='{int(ncol)}' "
+            f"size='{rx} {ry} {zmax} 1.0'/>\n"
+            "  </asset>\n"
+        )
+    if visual:
+        out.write(
+            "  <visual>\n"
+            "    <headlight ambient='0.35 0.35 0.35' diffuse='0.7 0.7 0.7' specular='0.2 0.2 0.2'/>\n"
+            "    <quality shadowsize='2048'/>\n"
+            "    <map znear='0.01'/>\n"
+            "  </visual>\n"
+            "  <asset>\n"
+            "    <texture name='grid' type='2d' builtin='checker' rgb1='0.22 0.27 0.33' "
+            "rgb2='0.30 0.36 0.43' width='256' height='256'/>\n"
+            "    <material name='grid' texture='grid' texrepeat='24 24' reflectance='0.15'/>\n"
+            "    <material name='robot' rgba='0.72 0.74 0.78 1'/>\n"
+            "    <material name='foot' rgba='0.85 0.35 0.25 1'/>\n"
+            "  </asset>\n"
+        )
     out.write("  <worldbody>\n")
+    if visual:
+        out.write("    <light pos='0 -2 4' dir='0 0.35 -1' directional='true' castshadow='true'/>\n")
+    floor_mat = " material='grid'" if visual else ""
     if with_floor:
         out.write(
             f"    <geom name='floor' type='plane' pos='0 0 {floor_z}' size='20 20 1' "
-            "friction='1 0.005 0.0001'/>\n"
+            f"friction='1 0.005 0.0001'{floor_mat}/>\n"
+        )
+    if hfield is not None:
+        out.write(
+            f"    <geom name='terrain_hf' type='hfield' hfield='terrain_hf' "
+            f"pos='0 0 {floor_z}' friction='1 0.005 0.0001'/>\n"
         )
     for ti, (tpos, tsize, tyaw) in enumerate(terrain_boxes or ()):
         half = 0.5 * float(tyaw)
@@ -86,10 +129,11 @@ def export_mjcf(
             contype = 1 if collidable else 0
             conaff = 1 if collidable else 0
             size = _fmt(g.size)
+            mat = f" material='{'foot' if collidable else 'robot'}'" if visual else ""
             out.write(
                 f"{indent}  <geom name='{name}' type='{_GEOM_TYPES[g.gtype]}' size='{size}' "
                 f"pos='{_fmt(g.pos)}' quat='{_fmt(g.quat)}' friction='{g.friction} 0.005 0.0001' "
-                f"contype='{contype}' conaffinity='{conaff}' density='{g.density}'/>\n"
+                f"contype='{contype}' conaffinity='{conaff}' density='{g.density}'{mat}/>\n"
             )
         for child in children.get(body.name, []):
             emit(child, indent + "  ")

@@ -1,9 +1,10 @@
 """Offline trajectory rendering (eval video parity).
 
 The reference records eval videos with mujoco.Renderer + imageio
-(/root/reference/rl/utils/eval.py:37-86). This image has no GL stack
-(osmesa/EGL unavailable), so videos are rendered as matplotlib stick figures
-from recorded qpos trajectories: FK gives every body frame, segments connect
+(/root/reference/rl/utils/eval.py:37-86). Preferred path: real 3D offscreen
+rendering through MuJoCo + EGL on the exported MJCF (rl/render_gl.py). When
+no GL stack is available, videos fall back to matplotlib stick figures from
+recorded qpos trajectories: FK gives every body frame, segments connect
 parent->child bodies, feet boxes are drawn as their corner outlines.
 """
 
@@ -74,10 +75,21 @@ def _draw_markers(ax, a, b, m: dict):
 
 
 def render_trajectory(env, qpos_traj: np.ndarray, out_path: str | Path, fps: int = 40, markers=None) -> Path:
-    """Render a (T, nq) qpos trajectory to an mp4/gif stick-figure video.
+    """Render a (T, nq) qpos trajectory to an mp4/gif video.
+
+    Uses the MuJoCo EGL renderer when a GL stack is present (render_gl.py);
+    otherwise the matplotlib stick-figure fallback below.
 
     markers: optional per-frame dicts from env.render_markers (footstep
     targets / terrain boxes / mode text overlays)."""
+    from learninghumanoidwalking_tpu.rl import render_gl
+
+    if render_gl.gl_available() and getattr(env, "spec", None) is not None:
+        try:
+            return render_gl.render_trajectory_gl(env, qpos_traj, out_path, fps=fps, markers=markers)
+        except Exception as e:  # fall back to the stick figure
+            print(f"GL rendering failed ({e!r}); falling back to stick-figure render")
+
     import matplotlib
 
     matplotlib.use("Agg")
