@@ -4,10 +4,13 @@ the reference reaches it via WalkingTask(manip_hfield=True) heightfield
 jitter, walking_task.py:173-179, plus compliant contact parameters and the
 domain-randomization stack).
 
-Terrain: N low yaw-rotated bump boxes (1.5–3.5 cm tall, matching the
-reference's hfield z range of -0.015..-0.035) randomly placed around the
-walking corridor, resampled per episode and occasionally mid-episode.
-Contacts use a softer solref (longer timeconst) for compliant ground.
+Terrain: a per-env continuous heightfield (16x16 node grid, 0.25 m cells,
+heights U(0, 0.035) — the reference's hfield z range of 1.5-3.5 cm) sampled
+bilinearly under every foot corner, resampled per episode and occasionally
+mid-episode (the reference's mid-walk hfield re-jitter). Feet straddling a
+slope get per-corner tilted contact normals — the continuous-contact case
+the round-2 bump-box approximation could not produce. Contacts use a softer
+solref (longer timeconst) for compliant ground.
 """
 
 from __future__ import annotations
@@ -23,7 +26,23 @@ from learninghumanoidwalking_tpu.physics.engine import Terrain
 from learninghumanoidwalking_tpu.physics.spec import lower
 from learninghumanoidwalking_tpu.tasks import walking
 
-N_BUMPS = 24
+HF_RES = 16  # nodes per side
+HF_CELL = 0.25  # m between nodes: grid spans 3.75 m x 3.75 m
+HF_X0Y0 = (-1.2, -1.875)  # forward walking corridor; flat beyond (clamped)
+HF_MAX = 0.035  # reference hfield z range 0.015-0.035 m
+
+
+def _sample_hfield(key) -> Terrain:
+    heights = jax.random.uniform(key, (HF_RES, HF_RES), minval=0.0, maxval=HF_MAX)
+    return Terrain(
+        pos=jnp.zeros((0, 3)),
+        size=jnp.zeros((0, 3)),
+        yaw=jnp.zeros((0,)),
+        floor_z=jnp.zeros(()),
+        hfield=heights,
+        hfield_x0y0=jnp.asarray(HF_X0Y0),
+        hfield_cell=jnp.asarray([HF_CELL, HF_CELL]),
+    )
 
 
 @struct.dataclass
@@ -32,26 +51,16 @@ class RoughWalkState:
     terrain: Terrain
 
 
-def _sample_bumps(key) -> Terrain:
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    xy = jax.random.uniform(k1, (N_BUMPS, 2), minval=jnp.array([-2.0, -3.0]), maxval=jnp.array([8.0, 3.0]))
-    half = jax.random.uniform(k2, (N_BUMPS, 2), minval=0.3, maxval=0.8)
-    height = jax.random.uniform(k3, (N_BUMPS,), minval=0.015, maxval=0.035)
-    yaw = jax.random.uniform(k4, (N_BUMPS,), minval=-jnp.pi, maxval=jnp.pi)
-    # boxes sit half-buried so their top face is `height` above the floor
-    pos = jnp.concatenate([xy, (height - 0.1)[:, None]], axis=1)
-    size = jnp.concatenate([half, jnp.full((N_BUMPS, 1), 0.1)], axis=1)
-    return Terrain(pos=pos, size=size, yaw=yaw, floor_z=jnp.zeros(()))
-
-
 class JvrcWalkRoughEnv(JvrcWalkEnv):
     def __init__(self, path_to_yaml: str | None = None):
-        # reuse the jvrc_walk setup, then swap in the terrain-enabled,
-        # compliant-contact model and the DR-enabled config
+        # reuse the jvrc_walk setup, then swap in the compliant-contact model
+        # and the DR-enabled config
         super().__init__(None)
         self.cfg = load_config("jvrc_rough.yaml", path_to_yaml)
-        self.model = lower(jvrc.jvrc_spec(nterrain=N_BUMPS, timeconst=0.04))
+        self.spec = jvrc.jvrc_spec(timeconst=0.04)
+        self.model = lower(self.spec)
         self._finalize()
+        self.has_terrain = True  # hfield-only terrain (model.nterrain == 0)
         self._setup_walking()
         self._setup_mirror()
 
@@ -59,7 +68,7 @@ class JvrcWalkRoughEnv(JvrcWalkEnv):
 
     def _task_reset(self, key, iteration, physics):
         k1, k2 = jax.random.split(key)
-        return RoughWalkState(walk=walking.reset(k1, self.period), terrain=_sample_bumps(k2))
+        return RoughWalkState(walk=walking.reset(k1, self.period), terrain=_sample_hfield(k2))
 
     def _task_step(self, key, task, physics):
         k1, k2, k3 = jax.random.split(key, 3)
@@ -68,7 +77,7 @@ class JvrcWalkRoughEnv(JvrcWalkEnv):
         rejitter = jnp.logical_and(
             jax.random.randint(k2, (), 0, 200) == 0, walk.mode != walking.STANDING
         )
-        new_terrain = _sample_bumps(k3)
+        new_terrain = _sample_hfield(k3)
         terrain = jax.tree.map(
             lambda a, b: jnp.where(rejitter, a, b), new_terrain, task.terrain
         )

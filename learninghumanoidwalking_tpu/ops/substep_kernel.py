@@ -123,10 +123,12 @@ def _const(val, tb):
 # ---------------------------------------------------------------------------
 
 
-def _build_substep(model: Model, dt: float, tb: int):
+def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
     """Returns fn(qpos (nq,TB), qvel (nv,TB), ctx) -> (qpos, qvel, extras).
 
-    ctx carries the dyn-param blocks. All model structure is static."""
+    ctx carries the dyn-param blocks. All model structure is static;
+    hfield_shape (H, W) statically enables heightfield ground contacts
+    (ctx gains hfield (H*W,TB), hf_x0y0 (2,TB), hf_cell (2,TB))."""
     t = _tables(model)
     nb, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
     parent = model.body_parent
@@ -167,9 +169,17 @@ def _build_substep(model: Model, dt: float, tb: int):
 
     # contact slots: (body, corner_local (3,), mu, kind) static. Flat models:
     # 4 "flat" slots per geom (corner vs z=0 plane). Terrain models: 4
-    # "floor" slots (corner vs floor plane, static z frame) then 4 "box"
-    # slots (corner vs terrain-box SDF, tilted frame) per geom — mirroring
+    # "floor" slots (corner vs floor plane, static z frame) — or "hfield"
+    # slots (corner vs bilinear heightfield surface, tilted frame) when a
+    # heightfield is enabled — then (box models) 4 "box" slots (corner vs
+    # terrain-box SDF, tilted frame) per geom — mirroring
     # engine.slots_per_geom / detect_contacts.
+    if hfield_shape is not None:
+        floor_kind = "hfield"
+    elif model.nterrain > 0:
+        floor_kind = "floor"
+    else:
+        floor_kind = "flat"
     slots = []
     for gi in model.foot_geoms:
         bi = model.geom_body[gi]
@@ -180,12 +190,9 @@ def _build_substep(model: Model, dt: float, tb: int):
         corner_locals = [
             (gpos + grot @ (corner * size)).astype(np.float32) for corner in eng._BOTTOM_CORNERS
         ]
-        if model.nterrain == 0:
-            for local in corner_locals:
-                slots.append((bi, local, mu, "flat"))
-        else:
-            for local in corner_locals:
-                slots.append((bi, local, mu, "floor"))
+        for local in corner_locals:
+            slots.append((bi, local, mu, floor_kind))
+        if model.nterrain > 0:
             for local in corner_locals:
                 slots.append((bi, local, mu, "box"))
     nc = len(slots)
@@ -449,6 +456,57 @@ def _build_substep(model: Model, dt: float, tb: int):
 
         # ---------------- contacts ----------------
         nt = model.nterrain
+
+        def frame_rows(n0, n1, n2):
+            """(n, t1, t2) rows from a unit normal (engine.frame_from_normal):
+            t1 horizontal."""
+            h2 = n0 * n0 + n1 * n1
+            h = jnp.sqrt(jnp.maximum(h2, 1e-12))
+            horiz = h2 > 0.25
+            t10 = jnp.where(horiz, -n1 / h, 1.0)
+            t11 = jnp.where(horiz, n0 / h, 0.0)
+            t12 = jnp.zeros((1, *tb))
+            t20 = n1 * t12 - n2 * t11
+            t21 = n2 * t10 - n0 * t12
+            t22 = n0 * t11 - n1 * t10
+            return ((n0, n1, n2), (t10, t11, t12), (t20, t21, t22))
+
+        def hfield_sample(hf, u, v, hh, ww):
+            """Bilinear tent-weight contraction (engine.hfield_query twin):
+            row accumulators over W, then contract over H. Returns the five
+            samples the central-difference normal needs, sharing the three
+            row-accumulator sets (3*H*W + 5*H multiply-adds total)."""
+            e = 0.25
+            up = jnp.clip(u + e, 0.0, ww - 1.0)
+            um = jnp.clip(u - e, 0.0, ww - 1.0)
+            vp = jnp.clip(v + e, 0.0, hh - 1.0)
+            vm = jnp.clip(v - e, 0.0, hh - 1.0)
+
+            def wt(k, uu):
+                return jnp.maximum(0.0, 1.0 - jnp.abs(float(k) - uu))
+
+            racc_u, racc_up, racc_um = [], [], []
+            for i in range(hh):
+                a = a_p = a_m = None
+                for j in range(ww):
+                    g = hf[i * ww + j : i * ww + j + 1]
+                    t0, t1_, t2_ = wt(j, u) * g, wt(j, up) * g, wt(j, um) * g
+                    a = t0 if a is None else a + t0
+                    a_p = t1_ if a_p is None else a_p + t1_
+                    a_m = t2_ if a_m is None else a_m + t2_
+                racc_u.append(a)
+                racc_up.append(a_p)
+                racc_um.append(a_m)
+            h = hxp = hxm = hyp = hym = None
+            for i in range(hh):
+                wv, wvp, wvm = wt(i, v), wt(i, vp), wt(i, vm)
+                h = wv * racc_u[i] if h is None else h + wv * racc_u[i]
+                hxp = wv * racc_up[i] if hxp is None else hxp + wv * racc_up[i]
+                hxm = wv * racc_um[i] if hxm is None else hxm + wv * racc_um[i]
+                hyp = wvp * racc_u[i] if hyp is None else hyp + wvp * racc_u[i]
+                hym = wvm * racc_u[i] if hym is None else hym + wvm * racc_u[i]
+            return h, hxp, hxm, hyp, hym, (up - um), (vp - vm)
+
         cpos, cdist, cframes = [], [], []
         for bi, local, mu, kind in slots:
             p = xpos[bi] + _matvec_np_local(rmats[bi], local)
@@ -459,6 +517,28 @@ def _build_substep(model: Model, dt: float, tb: int):
             elif kind == "floor":
                 cdist.append(p[2:3] - ctx["floor_z"])
                 cframes.append(None)  # static (z, x, y) frame
+            elif kind == "hfield":
+                # bilinear heightfield replaces the flat floor: vertical gap
+                # to the surface scaled onto the local normal (engine
+                # _foot_floor_contacts hfield path)
+                hh, ww = hfield_shape
+                hf = ctx["hfield"]  # (H*W, TB)
+                x0 = ctx["hf_x0y0"][0:1]
+                y0 = ctx["hf_x0y0"][1:2]
+                cx = ctx["hf_cell"][0:1]
+                cy = ctx["hf_cell"][1:2]
+                u = jnp.clip((p[0:1] - x0) / cx, 0.0, ww - 1.0)
+                v = jnp.clip((p[1:2] - y0) / cy, 0.0, hh - 1.0)
+                h, hxp, hxm, hyp, hym, du, dv = hfield_sample(hf, u, v, hh, ww)
+                # actual clip-shrunk span in the denominator, matching
+                # engine.hfield_query (unbiased gradients at the grid edge)
+                dh_dx = (hxp - hxm) / (du * cx)
+                dh_dy = (hyp - hym) / (dv * cy)
+                inv = 1.0 / jnp.sqrt(dh_dx * dh_dx + dh_dy * dh_dy + 1.0)
+                n0, n1, n2 = -dh_dx * inv, -dh_dy * inv, inv
+                gap = p[2:3] - (ctx["floor_z"] + h)
+                cdist.append(gap * n2)
+                cframes.append(frame_rows(n0, n1, n2))
             else:  # "box": terrain-box SDF (mirrors engine.terrain_contact)
                 # among all penetrated boxes the shallowest penetration wins
                 # and supplies the contact normal — side faces (risers)
@@ -889,7 +969,7 @@ def _cho_solve_rows(l_cols, b, n, tb):
 # ---------------------------------------------------------------------------
 
 
-def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False):
+def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False, hfield_shape=None):
     """Build fn(qpos (nq,B), qvel (nv,B), target (nu,B), ctx blocks...) ->
     (qpos, qvel, qacc, act_torque, cforce (3nc,B), cdist (nc,B), cmask (nc,B),
     cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel.
@@ -899,7 +979,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
     1/8 of a (1, lanes) vector register — the round-1 layout left 7/8 of the
     VPU idle on every scalar op."""
     sub, lanes = tb
-    substep, nc = _build_substep(model, dt, tb)
+    substep, nc = _build_substep(model, dt, tb, hfield_shape=hfield_shape)
     nq, nv, nu, nb = model.nq, model.nv, model.nu, model.nbody
     t = _tables(model)
     aq0 = int(np.asarray(model.actuator_qpos)[0]) if nu else 0
@@ -907,6 +987,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
     gear = np.asarray(model.actuator_gear)
 
     nt = model.nterrain
+    has_hf = hfield_shape is not None
 
     def kernel(*refs):
         (qpos_ref, qvel_ref, target_ref, kp_ref, kd_ref, bemf_ref,
@@ -918,18 +999,26 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             body_ipos=body_ipos_ref[:],
             xfrc=xfrc_ref[:],
         )
-        if nt > 0:
-            tpos_ref, tsize_ref, tcos_ref, tsin_ref, floorz_ref = refs[11:16]
+        idx = 11
+        if has_hf:
             ctx.update(
-                terrain_pos=tpos_ref[:],
-                terrain_size=tsize_ref[:],
-                terrain_cos=tcos_ref[:],
-                terrain_sin=tsin_ref[:],
-                floor_z=floorz_ref[:],
+                hfield=refs[idx][:],
+                hf_x0y0=refs[idx + 1][:],
+                hf_cell=refs[idx + 2][:],
             )
-            outs = refs[16:]
-        else:
-            outs = refs[11:]
+            idx += 3
+        if nt > 0:
+            ctx.update(
+                terrain_pos=refs[idx][:],
+                terrain_size=refs[idx + 1][:],
+                terrain_cos=refs[idx + 2][:],
+                terrain_sin=refs[idx + 3][:],
+            )
+            idx += 4
+        if has_hf or nt > 0:
+            ctx["floor_z"] = refs[idx][:]
+            idx += 1
+        outs = refs[idx:]
         (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out, cnormal_out) = outs
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
@@ -972,7 +1061,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         cpos_out[:] = extras["cpos"]
         cnormal_out[:] = extras["cnormal"]
 
-    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None):
+    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None, hfield=None, floor_z=None):
         batch = qpos.shape[1]
         ns = batch // lanes  # sublane-batch rows; env e = ns_row * lanes + lane
         grid = (ns // sub,)
@@ -988,11 +1077,19 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             spec(nv), spec(nv), spec(nb), spec(3 * nb), spec(6 * nb),
         ]
         args = [qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc]
+        if has_hf:
+            # hfield: (grid (H*W,B), x0y0 (2,B), cell (2,B))
+            hh, ww = hfield_shape
+            in_specs += [spec(hh * ww), spec(2), spec(2)]
+            args += list(hfield)
         if nt > 0:
-            # terrain: (tpos (3nt,B), tsize (3nt,B), cos(yaw) (nt,B),
-            # sin(yaw) (nt,B), floor_z (1,B))
-            in_specs += [spec(3 * nt), spec(3 * nt), spec(nt), spec(nt), spec(1)]
+            # terrain boxes: (tpos (3nt,B), tsize (3nt,B), cos(yaw) (nt,B),
+            # sin(yaw) (nt,B))
+            in_specs += [spec(3 * nt), spec(3 * nt), spec(nt), spec(nt)]
             args += list(terrain)
+        if has_hf or nt > 0:
+            in_specs += [spec(1)]
+            args += [floor_z]
         args = [fold(a) for a in args]
 
         out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc, 3 * nc]
@@ -1045,9 +1142,11 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
 
     batch = physics.qpos.shape[0]
     tb = kernel_tile(batch)
-    key = (id(model), frame_skip, float(sim_dt), tb)
+    has_hf = terrain is not None and terrain.hfield is not None
+    hf_shape = tuple(int(d) for d in terrain.hfield.shape[1:]) if has_hf else None
+    key = (id(model), frame_skip, float(sim_dt), tb, hf_shape)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb)
+        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape)
     run, nc = _KERNEL_CACHE[key]
 
     params_t = batched._params_to_trailing(params)
@@ -1056,14 +1155,19 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     kd = zeros_u if settle else params_t.kd
     bemf = zeros_u if settle else params_t.bemf_gain
 
-    terrain_blocks = None
+    terrain_blocks, hfield_blocks, floor_z = None, None, None
     if model.nterrain > 0:
-        # leading-batch Terrain -> (3nt,B), (3nt,B), cos/sin (nt,B), floor (1,B)
+        # leading-batch Terrain -> (3nt,B), (3nt,B), cos/sin (nt,B)
         tpos = jnp.transpose(terrain.pos, (1, 2, 0)).reshape(-1, batch)
         tsize = jnp.transpose(terrain.size, (1, 2, 0)).reshape(-1, batch)
         yaw = jnp.swapaxes(terrain.yaw, 0, 1)
+        terrain_blocks = (tpos, tsize, jnp.cos(yaw), jnp.sin(yaw))
+    if has_hf:
+        # (B, H, W) -> (H*W, B); x0y0/cell (B, 2) -> (2, B)
+        hf = jnp.reshape(terrain.hfield, (batch, -1)).T
+        hfield_blocks = (hf, jnp.swapaxes(terrain.hfield_x0y0, 0, 1), jnp.swapaxes(terrain.hfield_cell, 0, 1))
+    if model.nterrain > 0 or has_hf:
         floor_z = jnp.broadcast_to(jnp.reshape(terrain.floor_z, (1, -1)), (1, batch))
-        terrain_blocks = (tpos, tsize, jnp.cos(yaw), jnp.sin(yaw), floor_z)
 
     out = run(
         jnp.swapaxes(physics.qpos, 0, 1),
@@ -1078,6 +1182,8 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         params_t.body_ipos.reshape(-1, batch),
         jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
         terrain=terrain_blocks,
+        hfield=hfield_blocks,
+        floor_z=floor_z,
     )
     qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal = out
 
@@ -1088,7 +1194,7 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     anc = jnp.asarray(_tables(model)["anc"])
     cvel = jnp.einsum("nv,vsb->nsb", anc, s_mat * qvel[:, None])
 
-    if model.nterrain > 0:
+    if model.nterrain > 0 or has_hf:
         # rebuild (n, t1, t2) frames from the kernel's contact normals
         normals = cnormal.reshape(nc, 3, batch)  # (nc, 3, B)
         frames = jnp.stack([batched._frame_from_normal_b(normals[c]) for c in range(nc)])

@@ -322,11 +322,47 @@ def _cho_solve_b(chol, rhs):
 # --------------------------------------------------------------------------
 
 
+def _hfield_sample_b(terrain_t: Terrain, u, v):
+    """Bilinear tent-weight contraction at fractional indices u, v (..., B)
+    over the trailing-batch grid (H, W, B) (engine.hfield_query twin)."""
+    grid = terrain_t.hfield
+    hgt, wid = grid.shape[0], grid.shape[1]
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.arange(wid, dtype=u.dtype)[:, None] - u[..., None, :]))
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.arange(hgt, dtype=v.dtype)[:, None] - v[..., None, :]))
+    # contract W first, then H (same order as engine/kernel twins)
+    racc = jnp.einsum("hwb,...wb->...hb", grid, wu)
+    return jnp.sum(wv * racc, axis=-2)
+
+
+def _hfield_query_b(terrain_t: Terrain, x, y):
+    """x, y (..., B) -> (height above floor_z (..., B), normal (..., 3, B))."""
+    grid = terrain_t.hfield
+    hgt, wid = grid.shape[0], grid.shape[1]
+    cell = terrain_t.hfield_cell  # (2, B)
+    u = jnp.clip((x - terrain_t.hfield_x0y0[0]) / cell[0], 0.0, wid - 1.0)
+    v = jnp.clip((y - terrain_t.hfield_x0y0[1]) / cell[1], 0.0, hgt - 1.0)
+    h = _hfield_sample_b(terrain_t, u, v)
+    # actual clip-shrunk span in the denominator (engine.hfield_query twin)
+    e = 0.25
+    up, um = jnp.clip(u + e, 0.0, wid - 1.0), jnp.clip(u - e, 0.0, wid - 1.0)
+    vp, vm = jnp.clip(v + e, 0.0, hgt - 1.0), jnp.clip(v - e, 0.0, hgt - 1.0)
+    dh_dx = (_hfield_sample_b(terrain_t, up, v) - _hfield_sample_b(terrain_t, um, v)) / ((up - um) * cell[0])
+    dh_dy = (_hfield_sample_b(terrain_t, u, vp) - _hfield_sample_b(terrain_t, u, vm)) / ((vp - vm) * cell[1])
+    n = jnp.stack([-dh_dx, -dh_dy, jnp.ones_like(h)], axis=-2)
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=-2, keepdims=True))
+    return h, n
+
+
 def _support_height_b(terrain_t: Terrain | None, x, y):
     """x, y: (..., B) world coords -> support height (..., B)."""
     if terrain_t is None:
         return jnp.zeros_like(x)
     # terrain_t leaves: pos (nt, 3, B), size (nt, 3, B), yaw (nt, B), floor_z (B,)
+    ground = terrain_t.floor_z
+    if terrain_t.hfield is not None:
+        ground = ground + _hfield_query_b(terrain_t, x, y)[0]
+    if terrain_t.pos.shape[0] == 0:
+        return jnp.broadcast_to(ground, x.shape)
     c = jnp.cos(terrain_t.yaw)
     s = jnp.sin(terrain_t.yaw)
     dx = x[..., None, :] - terrain_t.pos[:, 0]
@@ -335,7 +371,7 @@ def _support_height_b(terrain_t: Terrain | None, x, y):
     ly = -s * dx + c * dy
     inside = (jnp.abs(lx) <= terrain_t.size[:, 0]) & (jnp.abs(ly) <= terrain_t.size[:, 1])
     tops = jnp.where(inside, terrain_t.pos[:, 2] + terrain_t.size[:, 2], -jnp.inf)
-    return jnp.maximum(terrain_t.floor_z, jnp.max(tops, axis=-2))
+    return jnp.maximum(ground, jnp.max(tops, axis=-2))
 
 
 def _terrain_contact_b(terrain_t: Terrain, p):
@@ -425,7 +461,20 @@ def detect_contacts_b(model: Model, xpos, xquat, rmats, terrain_t):
             all_dist.append(cw[:, 2])
             all_frame.append(z_frame)
         else:
-            floor_dist = cw[:, 2] - terrain_t.floor_z[None]
+            if terrain_t.hfield is not None:
+                # heightfield replaces the flat floor in the 4 corner slots:
+                # vertical gap to the surface, scaled onto the local normal
+                hz, hn = _hfield_query_b(terrain_t, cw[:, 0], cw[:, 1])  # (4,B), (4,3,B)
+                floor_dist = (cw[:, 2] - (terrain_t.floor_z[None] + hz)) * hn[:, 2]
+                ground_frame = jnp.stack([_frame_from_normal_b(hn[ci]) for ci in range(4)])
+            else:
+                floor_dist = cw[:, 2] - terrain_t.floor_z[None]
+                ground_frame = z_frame
+            if terrain_t.pos.shape[0] == 0:  # hfield-only: no box slots
+                all_pos.append(cw)
+                all_dist.append(floor_dist)
+                all_frame.append(ground_frame)
+                continue
             dists, frames = [], []
             for ci in range(4):
                 d, n = _terrain_contact_b(terrain_t, cw[ci])
@@ -433,7 +482,7 @@ def detect_contacts_b(model: Model, xpos, xquat, rmats, terrain_t):
                 frames.append(_frame_from_normal_b(n))
             all_pos.append(jnp.concatenate([cw, cw]))
             all_dist.append(jnp.concatenate([floor_dist, jnp.stack(dists)]))
-            all_frame.append(jnp.concatenate([z_frame, jnp.stack(frames)]))
+            all_frame.append(jnp.concatenate([ground_frame, jnp.stack(frames)]))
     cpos = jnp.concatenate(all_pos)  # (nc, 3, B)
     dist = jnp.concatenate(all_dist)  # (nc, B)
     frame = jnp.concatenate(all_frame)  # (nc, 3, 3, B)
@@ -604,6 +653,9 @@ def _terrain_to_trailing(terrain: Terrain | None) -> Terrain | None:
         size=jnp.transpose(terrain.size, (1, 2, 0)),
         yaw=_t2(terrain.yaw),
         floor_z=terrain.floor_z,
+        hfield=None if terrain.hfield is None else jnp.transpose(terrain.hfield, (1, 2, 0)),
+        hfield_x0y0=None if terrain.hfield_x0y0 is None else _t2(terrain.hfield_x0y0),
+        hfield_cell=None if terrain.hfield_cell is None else _t2(terrain.hfield_cell),
     )
 
 

@@ -117,17 +117,28 @@ def put_rows(n: int, idx, vals: jnp.ndarray) -> jnp.ndarray:
 
 @struct.dataclass
 class Terrain:
-    """Per-env terrain boxes (stepping-stone style), world-frame.
+    """Per-env terrain, world-frame: boxes and/or a continuous heightfield.
 
-    Replaces the reference's runtime mutation of 20 terrain box bodies
+    Boxes replace the reference's runtime mutation of 20 terrain box bodies
     (/root/reference/tasks/stepping_task.py:320-334) with per-env state
-    arrays. Feet collide with box top faces via a support-height query.
+    arrays; feet collide with box top AND side faces via an SDF query.
+
+    The optional heightfield replaces the reference's jittered hfield geom
+    (/root/reference/tasks/walking_task.py:173-179; asset in
+    envs/jvrc/gen_xml.py): a regular (H, W) grid of heights RELATIVE to
+    floor_z, bilinearly interpolated, substituting for the flat floor plane
+    in the contact query (so a foot straddling a slope gets per-corner
+    tilted contact normals). All-None hfield leaves = flat floor; the
+    pytree structure difference re-specializes the jitted step.
     """
 
     pos: jnp.ndarray  # (nt, 3) box center
     size: jnp.ndarray  # (nt, 3) half-sizes
     yaw: jnp.ndarray  # (nt,) rotation about z
     floor_z: jnp.ndarray  # () floor plane height (FORWARD stepping drops it -2)
+    hfield: jnp.ndarray | None = None  # (H, W) heights above floor_z; [i, j] = node (x_j, y_i)
+    hfield_x0y0: jnp.ndarray | None = None  # (2,) world xy of node [0, 0]
+    hfield_cell: jnp.ndarray | None = None  # (2,) node spacing (dx, dy)
 
 
 def flat_terrain(nterrain: int) -> Terrain:
@@ -344,14 +355,58 @@ def geom_world_pose(
     return pos, quat
 
 
+def _tent_weights(n: int, u: jnp.ndarray) -> jnp.ndarray:
+    """(n,) bilinear interpolation weights for fractional index u: the tent
+    function max(0, 1 - |i - u|) over node indices i. One dense contraction
+    with these weights IS linear interpolation — no gathers, so the lookup
+    maps onto TPU vector lanes instead of scalar loads."""
+    idx = jnp.arange(n, dtype=u.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - u))
+
+
+def hfield_query(terrain: Terrain, xy: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Heightfield surface under world xy: (height above floor_z, unit
+    normal). Bilinear tent-weight contraction h = w_y^T G w_x; the normal
+    comes from central differences at quarter-cell offsets (exact for the
+    piecewise-planar cells MuJoCo's triangulated hfields produce, away from
+    cell edges)."""
+    grid = terrain.hfield  # (H, W)
+    hgt, wid = grid.shape
+    cell = terrain.hfield_cell
+    u = jnp.clip((xy[0] - terrain.hfield_x0y0[0]) / cell[0], 0.0, wid - 1.0)
+    v = jnp.clip((xy[1] - terrain.hfield_x0y0[1]) / cell[1], 0.0, hgt - 1.0)
+
+    def sample(uu, vv):
+        # contract W first, then H — same order as batched/kernel twins so
+        # float32 rounding stays aligned across the three engine paths
+        return _tent_weights(hgt, vv) @ (grid @ _tent_weights(wid, uu))
+
+    h = sample(u, v)
+    # central differences over the ACTUAL (clip-shrunk at the border) span,
+    # so gradients stay unbiased at the grid edge
+    e = 0.25
+    up, um = jnp.clip(u + e, 0.0, wid - 1.0), jnp.clip(u - e, 0.0, wid - 1.0)
+    vp, vm = jnp.clip(v + e, 0.0, hgt - 1.0), jnp.clip(v - e, 0.0, hgt - 1.0)
+    dh_dx = (sample(up, v) - sample(um, v)) / ((up - um) * cell[0])
+    dh_dy = (sample(u, vp) - sample(u, vm)) / ((vp - vm) * cell[1])
+    n = jnp.stack([-dh_dx, -dh_dy, jnp.ones(())])
+    return h, n / jnp.linalg.norm(n)
+
+
 def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
-    """Support surface height under world xy: max of the floor plane and the
-    top faces of terrain boxes whose yaw-rotated footprint contains the point
-    (encodes the reference's 20 repositionable terrain boxes,
-    stepping_task.py:320-334). Used for the non-penetrating distance report;
-    penetrating contacts use the full box SDF (terrain_contact)."""
+    """Support surface height under world xy: max of the floor plane (or the
+    heightfield surface when one is present) and the top faces of terrain
+    boxes whose yaw-rotated footprint contains the point (encodes the
+    reference's 20 repositionable terrain boxes, stepping_task.py:320-334).
+    Used for the non-penetrating distance report; penetrating contacts use
+    the full box SDF (terrain_contact)."""
     if terrain is None:
         return jnp.zeros(())
+    ground = terrain.floor_z
+    if terrain.hfield is not None:
+        ground = ground + hfield_query(terrain, xy)[0]
+    if terrain.pos.shape[0] == 0:  # hfield-only terrain: no boxes
+        return ground
     c, s = jnp.cos(terrain.yaw), jnp.sin(terrain.yaw)
     dx = xy[0] - terrain.pos[:, 0]
     dy = xy[1] - terrain.pos[:, 1]
@@ -359,7 +414,7 @@ def support_height(terrain: Terrain | None, xy: jnp.ndarray) -> jnp.ndarray:
     ly = -s * dx + c * dy
     inside = (jnp.abs(lx) <= terrain.size[:, 0]) & (jnp.abs(ly) <= terrain.size[:, 1])
     tops = jnp.where(inside, terrain.pos[:, 2] + terrain.size[:, 2], -jnp.inf)
-    return jnp.maximum(terrain.floor_z, jnp.max(tops))
+    return jnp.maximum(ground, jnp.max(tops))
 
 
 def terrain_contact(terrain: Terrain, p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -446,13 +501,24 @@ def _foot_floor_contacts(
     z_frame = jnp.tile(jnp.eye(3)[jnp.array([2, 0, 1])][None], (4, 1, 1))
     if terrain is None:
         return corners, corners[:, 2], z_frame
-    floor_dist = corners[:, 2] - terrain.floor_z
+    if terrain.hfield is not None:
+        # the heightfield surface REPLACES the flat floor in slots 0-3:
+        # signed distance along the local surface normal is the vertical gap
+        # scaled by n_z (plane through the surface point under the corner)
+        hz, hn = jax.vmap(lambda c: hfield_query(terrain, c[:2]))(corners)
+        floor_dist = (corners[:, 2] - (terrain.floor_z + hz)) * hn[:, 2]
+        ground_frame = jax.vmap(frame_from_normal)(hn)
+    else:
+        floor_dist = corners[:, 2] - terrain.floor_z
+        ground_frame = z_frame
+    if terrain.pos.shape[0] == 0:  # hfield-only terrain: no box slots
+        return corners, floor_dist, ground_frame
     box_dist, normal = jax.vmap(lambda c: terrain_contact(terrain, c))(corners)
     box_frame = jax.vmap(frame_from_normal)(normal)
     return (
         jnp.concatenate([corners, corners]),
         jnp.concatenate([floor_dist, box_dist]),
-        jnp.concatenate([z_frame, box_frame]),
+        jnp.concatenate([ground_frame, box_frame]),
     )
 
 

@@ -63,7 +63,7 @@ def test_kernel_terrain_matches_batched_engine():
     TB = (1, 8)  # must match kernel_tile(B) so pd_substeps_kernel hits the cache
     NT = 6
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     rng = np.random.default_rng(0)
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
@@ -103,7 +103,7 @@ def test_kernel_side_face_matches_batched():
     TB = (1, 8)
     NT = 2
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
     qpos = np.tile(
@@ -127,7 +127,7 @@ def test_kernel_side_face_matches_batched():
 
     states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
     st_k, st_b = states, states
-    for _ in range(6):  # 150 ms at 1 m/s: the toe reaches and hits the riser
+    for _ in range(14):  # 70 ms at 1 m/s: the toe (starting ~50 mm away) hits the riser
         st_k = sk.pd_substeps_kernel(model, params, st_k, target, 5, 0.001, terrain)
         st_b = batched.pd_substeps_batched(model, params, st_b, target, 5, 0.001, terrain)
 
