@@ -130,3 +130,39 @@ def test_humanoid_sharded_iteration(mesh):
     ts = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh, cfg.num_envs)
     ts, metrics = ppo._train_iter(ts)
     assert np.isfinite(float(metrics["mean_reward"]))
+
+
+@pytest.mark.slow
+def test_humanoid_sharded_realistic_batch_no_recompile(mesh):
+    """jvrc_walk at a realistic batch (1024 envs, 128/device) over the
+    8-device mesh: shardings must survive the iteration AND the second
+    iteration must hit the jit cache (a resharding pathology at real shapes
+    would force a re-trace/re-compile every step — the failure mode the
+    smoke-scale dryrun could not see)."""
+    env = make_env("jvrc_walk")
+    num_envs = 1024
+    cfg = PPOConfig(
+        num_envs=num_envs,
+        rollout_len=2,
+        minibatch_size=num_envs,
+        epochs=1,
+        max_traj_len=8,
+        input_norm_iters=0,
+    )
+    ppo = PPO(env, cfg)
+    ts = shard_train_state(ppo.init_state(jax.random.PRNGKey(0)), mesh, num_envs)
+
+    data = NamedSharding(mesh, P("data"))
+    ts, _ = ppo._train_iter(ts)
+    n_sample = ppo._sample_iter._cache_size()
+    n_opt = ppo._optimize_iter._cache_size()
+    ts, metrics = ppo._train_iter(ts)
+    assert np.isfinite(float(metrics["mean_reward"]))
+    assert ppo._sample_iter._cache_size() == n_sample, "sample path recompiled on iteration 2"
+    assert ppo._optimize_iter._cache_size() == n_opt, "optimize path recompiled on iteration 2"
+
+    for leaf in jax.tree.leaves(ts.env_state):
+        if hasattr(leaf, "sharding") and leaf.ndim >= 1 and leaf.size and leaf.shape[0] == num_envs:
+            assert leaf.sharding.is_equivalent_to(data, leaf.ndim), (
+                f"env-batch leaf lost its data sharding at realistic batch: {leaf.sharding}"
+            )
