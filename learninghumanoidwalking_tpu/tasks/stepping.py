@@ -13,6 +13,7 @@ curriculum clip((iter-3000)/8000, 0, 1) * 0.1 (:312-313).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -33,7 +34,7 @@ REWARD_NAMES = (
     "upper_body_reward",
 )
 
-WEIGHTS = jnp.array([0.150, 0.150, 0.050, 0.050, 0.450, 0.050])
+WEIGHTS = np.array([0.150, 0.150, 0.050, 0.050, 0.450, 0.050], dtype=np.float32)  # host constant: module import must not touch the device
 
 TARGET_RADIUS = 0.20  # stepping_task.py:276
 NBOXES = 20

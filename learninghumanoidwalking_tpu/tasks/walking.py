@@ -12,6 +12,7 @@ one_hot(mode).
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -34,7 +35,7 @@ REWARD_NAMES = (
 )
 
 # weights summing to 1.0 (walking_task.py:132-146)
-WEIGHTS = jnp.array([0.225, 0.225, 0.050, 0.050, 0.150, 0.150, 0.050, 0.050, 0.025, 0.025])
+WEIGHTS = np.array([0.225, 0.225, 0.050, 0.050, 0.150, 0.150, 0.050, 0.050, 0.025, 0.025], dtype=np.float32)  # host constant: module import must not touch the device
 
 
 @struct.dataclass
