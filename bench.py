@@ -144,17 +144,16 @@ def main():
 
     # Repo-local persistent compile cache (shipped in git) so the driver's
     # run is warm; fall back to /tmp if the repo dir is not writable.
-    for cache_dir in (
+    # Host-salted: XLA:CPU entries from a different physical host segfault
+    # on load (utils/cache.py docstring), so each host gets its own subdir.
+    from learninghumanoidwalking_tpu.utils.cache import enable_compile_cache
+
+    for base in (
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-        "/tmp/lhw_jax_cache",
+        "/tmp/lhw_jax_cache2",
     ):
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if enable_compile_cache(base, min_compile_secs=1.0) is not None:
             break
-        except Exception:
-            continue
 
     from learninghumanoidwalking_tpu.envs import make_env
     from learninghumanoidwalking_tpu.rl.ppo import PPO, PPOConfig

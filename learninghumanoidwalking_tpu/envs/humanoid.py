@@ -382,14 +382,20 @@ class HumanoidEnv(Env):
         """Batched step: batch-in-lanes physics, vmapped task/obs logic."""
         from learninghumanoidwalking_tpu.physics.batched import pd_substeps_batched
 
-        if self.motor_enabled:
-            # motor-dynamics history threading lives in the single-env loop;
-            # the hook is an opt-in research path (reference ships no trained
-            # nets), so it takes the plain vmapped route
-            return jax.vmap(self.step)(states, actions)
-
         full_target = jax.vmap(self._pre_step)(states, actions)
         terrain = jax.vmap(self._terrain)(states.task) if self.has_terrain else None
+        if self.motor_enabled:
+            # motor-dynamics history threading rides the batch-in-lanes
+            # engine (not the pallas kernel, whose 25 fused substeps have no
+            # torque-injection hook) — still ~an order of magnitude faster
+            # than the previous vmapped single-env route
+            physics, motor = pd_substeps_batched(
+                self.model, states.dyn, states.physics, full_target,
+                self.frame_skip, self.sim_dt, terrain,
+                motor=(self.motor_params, states.motor),
+            )
+            states = states.replace(motor=motor)
+            return jax.vmap(self._post_step)(states, physics, actions, full_target)
         if self._use_kernel(actions.shape[0]):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 

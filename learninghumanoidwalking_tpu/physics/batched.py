@@ -668,33 +668,57 @@ def pd_substeps_batched(
     sim_dt: float,
     terrain: Terrain | None = None,
     settle: bool = False,
+    motor=None,
 ) -> PhysicsState:
     """Batched drop-in for robots.pd.pd_substeps over a whole env batch.
 
     Transposes to trailing-batch once, scans frame_skip substeps, and
     rebuilds the leading-batch PhysicsState (with FK caches refreshed).
     With settle=True, applies zero torque (reset settling steps).
+
+    motor: optional (motor_params, MotorState-leading-batch) pair. When
+    given, the commanded PD torque passes through the learned motor hook
+    every substep (robots.motor, robot_interface.py:510-533) and the
+    return value becomes (PhysicsState, MotorState) — the batched twin of
+    robots.motor.pd_substeps_motor, keeping motor-enabled envs on the
+    batch-in-lanes fast path instead of the vmapped single-env engine.
     """
     params_t = _params_to_trailing(params)
     terrain_t = _terrain_to_trailing(terrain)
     qpos = _t2(physics.qpos)
     qvel = _t2(physics.qvel)
     tgt = _t2(target)
+    if motor is not None:
+        from learninghumanoidwalking_tpu.robots.motor import MotorState, motor_substep_torque_b
+
+        motor_params, mstate = motor
+        # (B, H, nu) -> (H, nu, B)
+        m_carry0 = (
+            jnp.transpose(mstate.qdot_hist, (1, 2, 0)),
+            jnp.transpose(mstate.ctau_hist, (1, 2, 0)),
+            mstate.count,
+        )
+    else:
+        m_carry0 = None
 
     def substep(carry, _):
-        qpos, qvel = carry
+        qpos, qvel, m_carry = carry
         if settle:
             ctrl = jnp.zeros((model.nu,) + qpos.shape[1:])
         else:
             q = _take_rows_b(qpos, model.actuator_qpos)
             v = _take_rows_b(qvel, model.actuator_dof)
             tau = params_t.kp * (tgt - q) - params_t.kd * v - params_t.bemf_gain * v
+            if m_carry is not None:
+                qd_h, ct_h, count = m_carry
+                tau, qd_h, ct_h, count = motor_substep_torque_b(motor_params, qd_h, ct_h, count, v, tau)
+                m_carry = (qd_h, ct_h, count)
             ctrl = tau / jnp.asarray(np.asarray(model.actuator_gear))[:, None]
         out = step_b(model, params_t, qpos, qvel, ctrl, sim_dt, terrain_t)
         qpos, qvel = out[0], out[1]
-        return (qpos, qvel), out[2:]
+        return (qpos, qvel, m_carry), out[2:]
 
-    (qpos, qvel), tail = jax.lax.scan(substep, (qpos, qvel), None, length=frame_skip)
+    (qpos, qvel, m_carry), tail = jax.lax.scan(substep, (qpos, qvel, m_carry0), None, length=frame_skip)
     qacc, act_force, cpos, dist, mask, force, cframe = [jax.tree.map(lambda x: x[-1], t) for t in tail]
 
     # rebuild leading-batch state with fresh FK caches
@@ -719,7 +743,7 @@ def pd_substeps_batched(
         force=jnp.transpose(force, (2, 0, 1)),
         mask=_t2(mask),
     )
-    return PhysicsState(
+    out_state = PhysicsState(
         qpos=_t2(qpos),
         qvel=_t2(qvel),
         qacc=_t2(qacc),
@@ -730,3 +754,12 @@ def pd_substeps_batched(
         contact=contact,
         time=physics.time + frame_skip * sim_dt,
     )
+    if motor is not None:
+        qd_h, ct_h, count = m_carry
+        mstate_out = MotorState(
+            qdot_hist=jnp.transpose(qd_h, (2, 0, 1)),
+            ctau_hist=jnp.transpose(ct_h, (2, 0, 1)),
+            count=count,
+        )
+        return out_state, mstate_out
+    return out_state

@@ -97,6 +97,42 @@ def motor_substep_torque(
     return act_tau, MotorState(qdot_hist=qdot_hist, ctau_hist=ctau_hist, count=state.count + 1)
 
 
+def motor_forward_b(params: dict, qdot_hist: jnp.ndarray, ctau_hist: jnp.ndarray) -> jnp.ndarray:
+    """Trailing-batch motor_forward: (HIST_LEN, nu, B) histories -> (nu, B)
+    torques. Same math as motor_forward with the batch riding in the last
+    axis (the batched engine's lane layout, physics/batched.py)."""
+    x = jnp.concatenate([qdot_hist, ctau_hist], axis=0).transpose(1, 0, 2)  # (nu, 2H, B)
+    n_layers = int(params["n_layers"])
+    for li in range(n_layers):
+        x = jnp.einsum("nib,nio->nob", x, params[f"w{li}"]) + params[f"b{li}"][:, :, None]
+        if li < n_layers - 1:
+            x = jnp.tanh(x)
+    return params["skip"][:, None] * ctau_hist[-1] + x[:, 0, :]
+
+
+def motor_substep_torque_b(
+    params: dict,
+    qdot_hist: jnp.ndarray,  # (HIST_LEN, nu, B)
+    ctau_hist: jnp.ndarray,  # (HIST_LEN, nu, B)
+    count: jnp.ndarray,  # (B,) int32
+    qdot: jnp.ndarray,  # (nu, B)
+    cmd_tau: jnp.ndarray,  # (nu, B)
+):
+    """Trailing-batch twin of motor_substep_torque (same warmup/every-2nd
+    update contract, robot_interface.py:510-533)."""
+    warm = count < HIST_LEN
+    update = jnp.logical_or(warm, count % 2 == 0)
+
+    def push(hist, new):
+        rolled = jnp.concatenate([hist[1:], new[None]])
+        return jnp.where(update[None, None, :], rolled, hist)
+
+    qdot_hist = push(qdot_hist, qdot)
+    ctau_hist = push(ctau_hist, cmd_tau)
+    act_tau = jnp.where(warm[None, :], cmd_tau, motor_forward_b(params, qdot_hist, ctau_hist))
+    return act_tau, qdot_hist, ctau_hist, count + 1
+
+
 def pd_substeps_motor(
     model: Model,
     dyn: DynParams,

@@ -1,0 +1,61 @@
+"""Persistent-XLA-cache helpers: host-salted cache directories.
+
+XLA:CPU cache entries embed AOT machine code specialized to the compiling
+host's exact CPU features. This VM image migrates between physical hosts,
+and loading an entry compiled on a previous host is fatal (observed: a hard
+segfault inside jax's compilation_cache.get_executable_and_time, plus
+cpu_aot_loader "machine type ... doesn't match" errors warning of SIGILL).
+Salting the cache path with a hash of the host's CPU feature flags makes
+stale-host entries unreachable instead of fatal — each distinct host gets
+its own subdirectory and simply recompiles cold once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+
+def host_salt() -> str:
+    """Short stable id of this host's CPU feature set."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "nocpuinfo"
+
+
+def enable_compile_cache(base: str, min_compile_secs: float = 2.0) -> str | None:
+    """Point jax's persistent compile cache at <base>/<subdir>.
+
+    subdir is the host salt for the CPU backend (whose AOT entries embed
+    host machine code — the segfault case) and the backend name otherwise:
+    TPU executables are device-targeted, so sharing them across hosts is
+    safe and keeps a repo-shipped cache warm wherever the driver lands.
+
+    Returns the directory used, or None if no candidate was writable.
+    """
+    import jax
+
+    platforms = jax.config.jax_platforms
+    if platforms and "cpu" not in platforms.split(","):
+        subdir = platforms.split(",")[0]
+    elif platforms:  # explicit cpu
+        subdir = host_salt()
+    else:
+        try:
+            backend = jax.default_backend()
+        except Exception:  # device discovery failed (e.g. TPU tunnel down)
+            backend = "cpu"
+        subdir = host_salt() if backend == "cpu" else backend
+    path = os.path.join(base, subdir)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    return path

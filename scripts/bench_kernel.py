@@ -14,8 +14,9 @@ import jax.numpy as jnp
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from learninghumanoidwalking_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache("/tmp/lhw_jax_cache2", min_compile_secs=5.0)
 
     from learninghumanoidwalking_tpu.envs import make_env
 

@@ -27,7 +27,9 @@ def main():
     ap.add_argument("--yaw-rate", type=float, default=0.4)
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
+    from learninghumanoidwalking_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache("/tmp/lhw_jax_cache2")
 
     from learninghumanoidwalking_tpu.rl.eval import load_policy
     from learninghumanoidwalking_tpu.tasks import walking

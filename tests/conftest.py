@@ -17,6 +17,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: humanoid env step/reset compiles cost ~40 s each
-# on CPU; cache them across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/lhw_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# on CPU; cache them across test runs. Host-salted: entries compiled on a
+# previous physical host segfault on load (utils/cache.py docstring).
+from learninghumanoidwalking_tpu.utils.cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache("/tmp/lhw_jax_cache2", min_compile_secs=2.0)

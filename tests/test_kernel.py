@@ -112,8 +112,11 @@ def test_kernel_side_face_matches_batched():
     qvel = np.zeros((B, 18), np.float32)
     qvel[:, 0] = 1.0  # flying forward into a wall of boxes
 
-    # tall step ahead: riser face at x = 0.24, top at z = 0.6 (above feet)
-    tpos = np.tile(np.array([[0.44, 0.0, 0.3], [9.0, 9.0, -0.07]], np.float32)[None], (B, 1, 1))
+    # tall step ahead: riser face at x = 0.20, top at z = 0.6 (above feet).
+    # The real-JVRC toe front edge spawns at x = 0.190 and floor friction
+    # arrests the slide within ~26 mm, so the face must sit inside that
+    # window for the corner to reach it while still moving.
+    tpos = np.tile(np.array([[0.40, 0.0, 0.3], [9.0, 9.0, -0.07]], np.float32)[None], (B, 1, 1))
     tsize = np.tile(np.array([[0.2, 1.0, 0.3], [0.5, 0.5, 0.1]], np.float32)[None], (B, 1, 1))
     terrain = Terrain(
         pos=jnp.asarray(tpos), size=jnp.asarray(tsize), yaw=jnp.zeros((B, NT)), floor_z=jnp.zeros(B)
@@ -127,14 +130,20 @@ def test_kernel_side_face_matches_batched():
 
     states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
     st_k, st_b = states, states
-    for _ in range(14):  # 70 ms at 1 m/s: the toe (starting ~50 mm away) hits the riser
+    # the toe crosses the face early, the riser pushes it back out, and it
+    # settles just outside (~0.1992) — so side contact is only LIVE during
+    # the first few control steps; accumulate engagement across the run
+    engaged = False
+    for _ in range(14):  # 70 ms at ~1 m/s: the toe (starting 10 mm away) hits the riser
         st_k = sk.pd_substeps_kernel(model, params, st_k, target, 5, 0.001, terrain)
         st_b = batched.pd_substeps_batched(model, params, st_b, target, 5, 0.001, terrain)
+        normals = np.asarray(st_b.contact.frame[:, :, 0, :])  # (B, nc, 3)
+        active = np.asarray(st_b.contact.mask) > 0
+        if active.any() and (normals[active][:, 0] < -0.9).any():
+            engaged = True
 
     np.testing.assert_allclose(np.asarray(st_k.qpos), np.asarray(st_b.qpos), atol=5e-4)
     np.testing.assert_allclose(np.asarray(st_k.contact.frame), np.asarray(st_b.contact.frame), atol=1e-4)
-    # non-vacuous: at least one active contact is against the riser (its
-    # normal is horizontal, pointing -x)
-    normals = np.asarray(st_b.contact.frame[:, :, 0, :])  # (B, nc, 3)
-    active = np.asarray(st_b.contact.mask) > 0
-    assert (normals[active][:, 0] < -0.9).any(), "no side-face contact engaged"
+    # non-vacuous: at some point an active contact was against the riser
+    # (its normal horizontal, pointing -x)
+    assert engaged, "no side-face contact engaged"
