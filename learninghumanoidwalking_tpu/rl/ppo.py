@@ -267,18 +267,23 @@ class PPO:
         # for every env that finishes during this rollout (brax-style
         # auto-reset). A per-step fresh reset costs 3 settle substeps + FK
         # per control step; the pool amortizes it 16x. The pool is ROTATED
-        # across the batch by the step index at use, so an env that finishes
-        # twice within one rollout starts its episodes from two different
-        # pool entries (different init noise / task draw / terrain) — the
+        # across the batch by the iteration index, so env i draws a different
+        # pool entry (init noise / task draw / terrain) each iteration — the
         # reference resets fresh each time (rollout_worker.py:171-177) and
-        # the rotation removes the episode-to-episode correlation a static
-        # pool would introduce. The PRNG key is refreshed at use, so even a
-        # re-drawn entry diverges immediately.
+        # the rotation removes the iteration-to-iteration correlation a
+        # static pool would introduce. The rotation happens ONCE out here,
+        # not per scan step: rolling the full env-state pytree inside the
+        # step loop cost a whole-batch copy of every leaf on the sampling
+        # hot path. The one case this loses — an env finishing twice within
+        # one rollout re-draws the same entry — is already covered by the
+        # PRNG key being refreshed at use, so a re-drawn entry diverges
+        # immediately.
         key, k_pool = jax.random.split(key)
         pool_keys = jax.random.split(k_pool, cfg.num_envs)
         reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+        reset_pool = jax.tree.map(lambda x: jnp.roll(x, ts.iteration, axis=0), reset_pool)
 
-        def step_fn(carry, step_i):
+        def step_fn(carry, _):
             env_state, ep_ret, key = carry
             key, k_act = jax.random.split(key)
             obs = env_state.obs
@@ -297,8 +302,7 @@ class PPO:
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            rolled_pool = jax.tree.map(lambda x: jnp.roll(x, step_i, axis=0), reset_pool)
-            reset_state = rolled_pool.replace(key=stepped.key, iteration=stepped.iteration)
+            reset_state = reset_pool.replace(key=stepped.key, iteration=stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
             ep_ret = ep_ret + stepped.reward
 
@@ -320,7 +324,8 @@ class PPO:
         (env_state, _, key), traj = jax.lax.scan(
             step_fn,
             (ts.env_state, jnp.zeros(cfg.num_envs), key),
-            jnp.arange(cfg.rollout_len),
+            None,
+            length=cfg.rollout_len,
         )
         return env_state, key, traj
 
@@ -335,8 +340,10 @@ class PPO:
         key, k_pool = jax.random.split(key)
         pool_keys = jax.random.split(k_pool, cfg.num_envs)
         reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
+        # pool rotation: see _rollout — once per iteration, outside the scan
+        reset_pool = jax.tree.map(lambda x: jnp.roll(x, ts.iteration, axis=0), reset_pool)
 
-        def step_fn(carry, step_i):
+        def step_fn(carry, _):
             env_state, a_carry, c_carry, key = carry
             key, k_act = jax.random.split(key)
             obs = env_state.obs
@@ -359,9 +366,7 @@ class PPO:
             truncated = jnp.logical_and(stepped.steps >= cfg.max_traj_len, ~terminated)
             done = jnp.logical_or(terminated, truncated)
 
-            # pool rotation: see _rollout (decorrelates episodes within a rollout)
-            rolled_pool = jax.tree.map(lambda x: jnp.roll(x, step_i, axis=0), reset_pool)
-            reset_state = rolled_pool.replace(key=stepped.key, iteration=stepped.iteration)
+            reset_state = reset_pool.replace(key=stepped.key, iteration=stepped.iteration)
             next_state = _tree_where(done, reset_state, stepped)
             a_carry2 = self._mask_carry(a_carry2, done)
             c_carry2 = self._mask_carry(c_carry2, done)
@@ -380,7 +385,7 @@ class PPO:
             return (next_state, a_carry2, c_carry2, key), out
 
         (env_state, a_carry, c_carry, key), traj = jax.lax.scan(
-            step_fn, (ts.env_state, a_carry0, c_carry0, key), jnp.arange(cfg.rollout_len)
+            step_fn, (ts.env_state, a_carry0, c_carry0, key), None, length=cfg.rollout_len
         )
         traj["actor_carry0"] = a_carry0
         traj["critic_carry0"] = c_carry0

@@ -20,20 +20,24 @@ from pathlib import Path
 
 def enable_compile_cache():
     """Persistent XLA compile cache: humanoid train-step compiles cost
-    minutes; cache them across runs."""
+    minutes; cache them across runs. Host-salted — entries compiled on a
+    previous physical host segfault on load (utils/cache.py docstring)."""
+    import os as _os
+
+    from learninghumanoidwalking_tpu.utils.cache import enable_compile_cache as _enable
+
+    _enable(_os.environ.get("LHW_COMPILE_CACHE", "/tmp/lhw_jax_cache2"), min_compile_secs=5.0)
+
+
+def system_banner():
     import os as _os
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir", _os.environ.get("LHW_COMPILE_CACHE", "/tmp/lhw_jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
-
-def system_banner():
-    import jax
-
+    # The axon TPU plugin ignores JAX_PLATFORMS; LHW_PLATFORM=cpu forces the
+    # CPU backend the way tests/conftest.py does (debugging, TPU outages).
+    if _os.environ.get("LHW_PLATFORM"):
+        jax.config.update("jax_platforms", _os.environ["LHW_PLATFORM"])
     enable_compile_cache()
     print("=" * 60)
     print(f"python {platform.python_version()} | jax {jax.__version__}")
