@@ -40,8 +40,12 @@ def enable_compile_cache(base: str, min_compile_secs: float = 2.0) -> str | None
     """
     import jax
 
+    # The primary (first) platform decides the subdir: plugins register
+    # themselves as e.g. "axon,cpu" where cpu is only the fallback, and all
+    # jit executables target the first entry. Only a cpu PRIMARY needs the
+    # host salt.
     platforms = jax.config.jax_platforms
-    if platforms and "cpu" not in platforms.split(","):
+    if platforms and platforms.split(",")[0] != "cpu":
         subdir = platforms.split(",")[0]
     elif platforms:  # explicit cpu
         subdir = host_salt()
