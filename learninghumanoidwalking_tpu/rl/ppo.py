@@ -185,12 +185,17 @@ class PPO:
 
         # two jitted segments (rollout+GAE vs update) so Time/sample_time and
         # Time/optimize_time are real wall-clock splits (reference
-        # ppo.py:480-481,568-569); _train_iter composes them
-        # donation: the previous TrainState and the rollout batch are dead
-        # after each call — letting XLA alias their buffers avoids copying
-        # the multi-GB env batch + trajectory arrays every iteration
-        self._sample_iter = jax.jit(self._sample_iteration, donate_argnums=(0,))
-        self._optimize_iter = jax.jit(self._optimize_iteration, donate_argnums=(0, 1))
+        # ppo.py:480-481,568-569); _train_iter composes them.
+        # Donation: only the TrainState flowing INTO the optimize segment is
+        # donated — it is the intermediate produced by _sample_iter inside the
+        # same iteration, every leaf aliases an output (params->updated
+        # params, env_state/norm pass through), and no caller can hold a
+        # reference to it. _sample_iter takes the caller's TrainState and
+        # must leave it readable (checkpoint comparisons, tests); the rollout
+        # batch has no shape-matching output in the update, so donating it
+        # buys nothing (XLA "donated buffers were not usable").
+        self._sample_iter = jax.jit(self._sample_iteration)
+        self._optimize_iter = jax.jit(self._optimize_iteration, donate_argnums=(0,))
         self._eval_iter = jax.jit(self._eval_rollout)
         self._warmup_iter = jax.jit(self._warmup_iteration)
 

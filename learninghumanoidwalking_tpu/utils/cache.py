@@ -44,6 +44,12 @@ def enable_compile_cache(base: str, min_compile_secs: float = 2.0) -> str | None
     # themselves as e.g. "axon,cpu" where cpu is only the fallback, and all
     # jit executables target the first entry. Only a cpu PRIMARY needs the
     # host salt.
+    # INVARIANT: when the primary platform is not cpu, no jit in this repo
+    # may compile with an explicit backend="cpu" / cpu-device sharding —
+    # such an executable would be persisted UNSALTED into the shared subdir
+    # and reintroduce the cross-host CPU-AOT segfault. Tests and dryruns
+    # that want the CPU backend must set jax_platforms="cpu" (making cpu
+    # primary) BEFORE calling this, as tests/conftest.py does.
     platforms = jax.config.jax_platforms
     if platforms and platforms.split(",")[0] != "cpu":
         subdir = platforms.split(",")[0]
