@@ -29,11 +29,17 @@ def export_mjcf(
     floor_z: float = 0.0,
     visual: bool = False,
     hfield=None,
+    self_proxy_collisions: bool = False,
 ) -> str:
     """Serialize a RobotSpec to an MJCF XML string.
 
     Self-collision proxy geoms are exported as contype=0 (visual-only) so the
     MuJoCo contact set matches the JAX engine's (foot boxes vs floor only).
+    With self_proxy_collisions=True they are instead placed in a private
+    collision class (contype=conaffinity=2: proxies collide only with each
+    other) so MuJoCo's own pipeline reports proxy self-contacts — used by the
+    self-collision termination golden. This must be decided at export time:
+    MuJoCo 3.4 ignores runtime geom_contype edits for pair filtering.
 
     terrain_boxes: optional iterable of (pos(3), size(3), yaw) static world
     boxes — the MuJoCo twin of engine.Terrain for stepping-stone goldens
@@ -128,6 +134,8 @@ def export_mjcf(
             collidable = name in foot_geoms
             contype = 1 if collidable else 0
             conaff = 1 if collidable else 0
+            if self_proxy_collisions and g.contact == "self":
+                contype = conaff = 2
             size = _fmt(g.size)
             mat = f" material='{'foot' if collidable else 'robot'}'" if visual else ""
             out.write(

@@ -63,6 +63,14 @@ class PPOConfig:
     recurrent: bool = False
     input_norm_iters: int = 5  # obs-norm warmup iterations (ppo.py:441-457)
     seed: int = 0
+    # minibatch construction: "slice" visits fixed contiguous chunks of the
+    # (time-major, env-minor) batch in a random order — gather-free, the
+    # per-minibatch random gathers were ~80% of the update segment's device
+    # time on the axon runtime (each chunk is one rollout time-step across
+    # the full i.i.d. env batch, so chunks are themselves unbiased samples).
+    # "shuffle" reproduces the reference's per-epoch full random permutation
+    # (ppo.py:504-539) at that gather cost.
+    minibatch_scheme: str = "slice"
     # compute precision of the FF net hidden matmuls ("bfloat16" runs them
     # single-pass on the TPU MXU; params and output heads stay float32)
     net_dtype: str = "bfloat16"
@@ -288,8 +296,15 @@ class PPO:
         reset_pool = self.env.reset_batch(pool_keys, jnp.broadcast_to(ts.iteration, (cfg.num_envs,)))
         reset_pool = jax.tree.map(lambda x: jnp.roll(x, ts.iteration, axis=0), reset_pool)
 
+        # V(s_t) is carried: at t=0 it is critic(obs_0); afterwards it is the
+        # previous step's V(s_{t+1}) when the episode continued and the
+        # (precomputed) pool value when it reset — identical values to
+        # re-evaluating critic(obs_t) in-step, one net forward cheaper
+        pool_values = self._value(ts.critic_params, ts.norm, reset_pool.obs)
+        value0 = self._value(ts.critic_params, ts.norm, ts.env_state.obs)
+
         def step_fn(carry, _):
-            env_state, ep_ret, key = carry
+            env_state, value, ep_ret, key = carry
             key, k_act = jax.random.split(key)
             obs = env_state.obs
             mean, log_std = self._policy(ts.actor_params, ts.norm, obs)
@@ -298,7 +313,6 @@ class PPO:
             else:
                 action = networks.gaussian_sample(k_act, mean, log_std)
             log_prob = networks.gaussian_logp(mean, log_std, action)
-            value = self._value(ts.critic_params, ts.norm, obs)
 
             stepped = self.env.step_batch(env_state, action)
             next_value = self._value(ts.critic_params, ts.norm, stepped.obs)
@@ -324,11 +338,12 @@ class PPO:
                 ep_return=jnp.where(done, ep_ret, 0.0),
             )
             ep_ret = jnp.where(done, 0.0, ep_ret)
-            return (next_state, ep_ret, key), out
+            value_next = jnp.where(done, pool_values, next_value)
+            return (next_state, value_next, ep_ret, key), out
 
-        (env_state, _, key), traj = jax.lax.scan(
+        (env_state, _, _, key), traj = jax.lax.scan(
             step_fn,
-            (ts.env_state, jnp.zeros(cfg.num_envs), key),
+            (ts.env_state, value0, jnp.zeros(cfg.num_envs), key),
             None,
             length=cfg.rollout_len,
         )
@@ -538,21 +553,35 @@ class PPO:
         seq_mb = max(min(cfg.minibatch_size // cfg.rollout_len, n_envs), 1)
         n_mb = max(n_envs // seq_mb, 1)
 
+        use_slices = self.cfg.minibatch_scheme == "slice"
+
         def epoch_fn(carry, key_epoch):
             actor_params, critic_params, actor_opt, critic_opt = carry
-            perm = jax.random.permutation(key_epoch, n_envs)[: n_mb * seq_mb].reshape(n_mb, seq_mb)
+            if use_slices:
+                # random ORDER over contiguous env ranges (envs are i.i.d. so
+                # a fixed contiguous grouping is an unbiased minibatch): the
+                # per-minibatch env gathers dominate the update's device time
+                perm = jax.random.permutation(key_epoch, n_mb) * seq_mb
+            else:
+                perm = jax.random.permutation(key_epoch, n_envs)[: n_mb * seq_mb].reshape(n_mb, seq_mb)
 
             def mb_fn(carry, idx):
                 actor_params, critic_params, actor_opt, critic_opt = carry
+                if use_slices:
+                    take_t = lambda x: jax.lax.dynamic_slice_in_dim(x, idx, seq_mb, axis=1)
+                    take_c = lambda x: jax.lax.dynamic_slice_in_dim(x, idx, seq_mb, axis=0)
+                else:
+                    take_t = lambda x: x[:, idx]
+                    take_c = lambda x: x[idx]
                 mb = (
-                    batch.obs[:, idx],
-                    batch.actions[:, idx],
-                    batch.log_probs[:, idx],
-                    batch.advantages[:, idx],
-                    batch.returns[:, idx],
-                    batch.done[:, idx],
-                    jax.tree.map(lambda x: x[idx], batch.actor_carry0),
-                    jax.tree.map(lambda x: x[idx], batch.critic_carry0),
+                    take_t(batch.obs),
+                    take_t(batch.actions),
+                    take_t(batch.log_probs),
+                    take_t(batch.advantages),
+                    take_t(batch.returns),
+                    take_t(batch.done),
+                    jax.tree.map(take_c, batch.actor_carry0),
+                    jax.tree.map(take_c, batch.critic_carry0),
                 )
                 grad_fn = jax.value_and_grad(self._loss_recurrent, argnums=(0, 1), has_aux=True)
                 (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)
@@ -588,19 +617,28 @@ class PPO:
         n_mb = max(n // mb_size, 1)
 
         flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), batch)
+        use_slices = self.cfg.minibatch_scheme == "slice"
 
         def epoch_fn(carry, key_epoch):
             actor_params, critic_params, actor_opt, critic_opt = carry
-            perm = jax.random.permutation(key_epoch, n)[: n_mb * mb_size].reshape(n_mb, mb_size)
+            if use_slices:
+                # random ORDER over fixed contiguous chunks: zero gathers
+                perm = jax.random.permutation(key_epoch, n_mb) * mb_size
+            else:
+                perm = jax.random.permutation(key_epoch, n)[: n_mb * mb_size].reshape(n_mb, mb_size)
 
             def mb_fn(carry, idx):
                 actor_params, critic_params, actor_opt, critic_opt = carry
+                if use_slices:
+                    take = lambda x: jax.lax.dynamic_slice_in_dim(x, idx, mb_size)
+                else:
+                    take = lambda x: x[idx]
                 mb = (
-                    flat.obs[idx],
-                    flat.actions[idx],
-                    flat.log_probs[idx],
-                    flat.advantages[idx],
-                    flat.returns[idx],
+                    take(flat.obs),
+                    take(flat.actions),
+                    take(flat.log_probs),
+                    take(flat.advantages),
+                    take(flat.returns),
                 )
                 grad_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
                 (loss, aux), (a_grad, c_grad) = grad_fn(actor_params, critic_params, ts.norm, mb)

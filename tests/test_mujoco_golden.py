@@ -173,3 +173,83 @@ def test_riser_side_face_matches_mujoco():
     assert np.abs(xs_mj - xs_j).mean() < 0.03, f"mean |dx| {np.abs(xs_mj - xs_j).mean():.4f}"
     assert abs(xs_mj[-1] - xs_j[-1]) < 0.06, f"final dx {abs(xs_mj[-1] - xs_j[-1]):.4f}"
     assert np.abs(zs_mj - zs_j).mean() < 0.02, f"mean |dz| {np.abs(zs_mj - zs_j).mean():.4f}"
+
+
+@pytest.mark.slow
+def test_self_collision_fires_with_mujoco():
+    """Self-collision termination golden (VERDICT round 3, missing #5): drive
+    a leg-crossing trajectory in both engines and assert our
+    engine.self_collision flag fires within 60 ms of MuJoCo's first
+    self-contact (reference check: robot_interface.check_self_collisions,
+    /root/reference/envs/common/robot_interface.py:472-484, consumed by task
+    done() e.g. walking_task.py:184-192).
+
+    The exported MJCF ships the proxy spheres as contype=0 visuals; here they
+    are re-enabled in a private collision class (contype=conaffinity=2) so
+    MuJoCo's own collision pipeline reports the contact. Both simulations run
+    identical PD dynamics up to the first touch, so first-contact times are
+    directly comparable."""
+    from learninghumanoidwalking_tpu.models.jvrc import LEG_JOINTS
+
+    spec_fn, pose, kp, kd, height = _jvrc_setup()
+    spec = spec_fn()
+    # adduct the right leg hard across the left: the right foot-proxy sphere
+    # sweeps into the left foot proxy within ~0.6 s
+    target = pose.copy()
+    target[LEG_JOINTS.index("R_HIP_R")] += 0.9
+    qpos0 = np.concatenate([[0, 0, height], [1, 0, 0, 0], pose])
+    steps = 800
+
+    # ---- MuJoCo: first contact between proxy geoms (own collision class,
+    # set at export time — MuJoCo 3.4 ignores runtime geom_contype edits)
+    xml = export_mjcf(spec, self_proxy_collisions=True)
+    mj_model = mujoco.MjModel.from_xml_string(xml)
+    prox = [
+        g
+        for g in range(mj_model.ngeom)
+        if "prox" in (mujoco.mj_id2name(mj_model, mujoco.mjtObj.mjOBJ_GEOM, g) or "")
+    ]
+    assert prox, "proxy spheres missing from the exported MJCF"
+    mj_data = mujoco.MjData(mj_model)
+    act_qpos = [mj_model.jnt_qposadr[mj_model.actuator_trnid[i, 0]] for i in range(mj_model.nu)]
+    act_dof = [mj_model.jnt_dofadr[mj_model.actuator_trnid[i, 0]] for i in range(mj_model.nu)]
+    mj_data.qpos[:] = qpos0
+    mujoco.mj_forward(mj_model, mj_data)
+    t_mj = None
+    for t in range(steps):
+        q = mj_data.qpos[act_qpos]
+        v = mj_data.qvel[act_dof]
+        mj_data.ctrl[:] = kp * (target - q) - kd * v
+        mujoco.mj_step(mj_model, mj_data)
+        for ci in range(mj_data.ncon):
+            if mj_data.contact.geom1[ci] in prox and mj_data.contact.geom2[ci] in prox:
+                t_mj = t
+                break
+        if t_mj is not None:
+            break
+    assert t_mj is not None, "MuJoCo never reported a proxy self-contact"
+
+    # ---- ours: first substep where engine.self_collision is True
+    model = lower(spec)
+    params = default_dyn_params(model, jnp.asarray(kp, jnp.float32), jnp.asarray(kd, jnp.float32))
+    state = engine.make_state(model, jnp.asarray(qpos0, jnp.float32), jnp.zeros(model.nv))
+    tgt = jnp.asarray(target, jnp.float32)
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            s = pd_substeps(model, params, s, tgt, 1, 0.001)
+            return s, engine.self_collision(model, s.xpos, s.xquat)
+
+        return jax.lax.scan(body, state, None, length=steps)
+
+    _, flags = roll(state)
+    flags = np.asarray(flags)
+    assert flags.any(), "engine.self_collision never fired on the crossing trajectory"
+    t_ours = int(np.argmax(flags))
+
+    # identical sphere-overlap semantics on mm-matched trajectories: the
+    # flags must fire within 60 substeps (60 ms) of each other, and before
+    # contact neither engine may fire
+    assert abs(t_ours - t_mj) <= 60, f"ours {t_ours} vs mujoco {t_mj}"
+    assert not flags[: max(t_mj - 60, 0)].any()
