@@ -8,6 +8,10 @@ exercises the RunningMeanStd path) and LHW_PLATFORM=cpu (the axon plugin
 ignores JAX_PLATFORMS).
 """
 
+import pytest
+
+pytestmark = pytest.mark.fast  # cold-fast lane: no humanoid-scale compiles
+
 import json
 import os
 import subprocess

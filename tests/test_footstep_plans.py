@@ -17,6 +17,10 @@ the behavioral spec — the file itself is not redistributed):
         (turns are quantized to multiples of pi/16 = 0.19635)
 """
 
+import pytest
+
+pytestmark = pytest.mark.fast  # cold-fast lane: no humanoid-scale compiles
+
 import numpy as np
 
 from learninghumanoidwalking_tpu.utils.footstep_plans import MAX_STEPS, plan_bank

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.fast  # cold-fast lane: no humanoid-scale compiles
+
 from learninghumanoidwalking_tpu.physics.mjcf import export_mjcf
 from learninghumanoidwalking_tpu.physics.mjcf_import import import_mjcf
 from learninghumanoidwalking_tpu.physics.spec import lower

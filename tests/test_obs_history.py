@@ -5,6 +5,10 @@ All shipped configs use history 1; this exercises the rolling-buffer path
 normalization vectors.
 """
 
+import pytest
+
+pytestmark = pytest.mark.fast  # cold-fast lane: small-batch compiles only
+
 import tempfile
 
 import jax

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # cold-fast lane: no humanoid-scale compiles
+
 from learninghumanoidwalking_tpu.models.cartpole import cartpole_spec
 from learninghumanoidwalking_tpu.physics import engine
 from learninghumanoidwalking_tpu.physics.model import default_dyn_params
