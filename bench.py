@@ -56,7 +56,7 @@ def _kernel_flops_per_env_substep(model) -> float:
 
     from learninghumanoidwalking_tpu.ops.substep_kernel import _build_substep
 
-    substep, _ = _build_substep(model, 0.001, (1, 1))
+    substep, _, _ = _build_substep(model, 0.001, (1, 1))
     nb, nv, nq, nu = model.nbody, model.nv, model.nq, model.nu
     z = lambda r: jnp.zeros((r, 1, 1))
     ctx = dict(

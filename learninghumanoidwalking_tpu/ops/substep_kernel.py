@@ -197,8 +197,8 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
                 slots.append((bi, local, mu, "box"))
     nc = len(slots)
 
-    def substep(qpos, qvel, ctrl, ctx):
-        # ---------------- FK ----------------
+    def fk(qpos):
+        """FK + rotation matrices for every body (twin of batched.fk_b)."""
         xpos = [jnp.zeros((3, *tb))]
         xquat = [jnp.concatenate([jnp.ones((1, *tb)), jnp.zeros((3, *tb))])]
         for i in range(1, nb):
@@ -236,8 +236,10 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             xpos.append(x)
             xquat.append(q)
         rmats = [None] + [_qmat(xquat[i]) for i in range(1, nb)]
+        return xpos, xquat, rmats
 
-        # ---------------- motion subspace S (per dof: (6,TB)) ----------------
+    def motion_subspace(xpos, rmats):
+        """Per-dof motion subspace S (6,TB) (twin of batched.motion_subspace_b)."""
         S = []
         for kind, bi, k in dof_info:
             if kind == "free_lin":
@@ -273,8 +275,10 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
                     S.append(jnp.concatenate([u, _cross(anchor, u)]))
                 else:
                     S.append(jnp.concatenate([jnp.zeros((3, *tb)), u]))
+        return S
 
-        # ---------------- body velocities ----------------
+    def body_velocities(S, qvel):
+        """Per-body spatial velocity (world frame, about origin)."""
         cvel = [jnp.zeros((6, *tb))]
         for i in range(1, nb):
             v = cvel[parent[i]]
@@ -282,6 +286,31 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             for d in range(adr, adr + num):
                 v = v + S[d] * qvel[d : d + 1]
             cvel.append(v)
+        return cvel
+
+    def fk_outputs(qpos, qvel):
+        """Final-state FK caches the env boundary consumes: xpos (3nb,TB),
+        xquat (4nb,TB), cvel (6nb,TB) — computed IN-kernel so the boundary
+        does not pay an XLA-side FK rebuild (fusion-boundary HBM round trips
+        on the sampling hot path)."""
+        xpos, xquat, rmats = fk(qpos)
+        S = motion_subspace(xpos, rmats)
+        cvel = body_velocities(S, qvel)
+        return (
+            jnp.concatenate(xpos),
+            jnp.concatenate(xquat),
+            jnp.concatenate(cvel),
+        )
+
+    def substep(qpos, qvel, ctrl, ctx):
+        # ---------------- FK ----------------
+        xpos, xquat, rmats = fk(qpos)
+
+        # ---------------- motion subspace S (per dof: (6,TB)) ----------------
+        S = motion_subspace(xpos, rmats)
+
+        # ---------------- body velocities ----------------
+        cvel = body_velocities(S, qvel)
 
         # ---------------- spatial inertias (world, about origin) ----------------
         # I_b = [[Ibar, m cx],[m cx^T, m E]];  rows stored as list of 6 (6,TB)
@@ -887,7 +916,7 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
         )
         return qpos_new, qvel_new, extras
 
-    return substep, nc
+    return substep, nc, fk_outputs
 
 
 def _matvec_np_local(rot_rows, local: np.ndarray):
@@ -979,7 +1008,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
     1/8 of a (1, lanes) vector register — the round-1 layout left 7/8 of the
     VPU idle on every scalar op."""
     sub, lanes = tb
-    substep, nc = _build_substep(model, dt, tb, hfield_shape=hfield_shape)
+    substep, nc, fk_outputs = _build_substep(model, dt, tb, hfield_shape=hfield_shape)
     nq, nv, nu, nb = model.nq, model.nv, model.nu, model.nbody
     t = _tables(model)
     aq0 = int(np.asarray(model.actuator_qpos)[0]) if nu else 0
@@ -1019,7 +1048,8 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             ctx["floor_z"] = refs[idx][:]
             idx += 1
         outs = refs[idx:]
-        (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out, cnormal_out) = outs
+        (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out, cnormal_out,
+         xpos_out, xquat_out, cvel_out) = outs
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
 
@@ -1053,6 +1083,10 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         )
         qpos_out[:] = qpos
         qvel_out[:] = qvel
+        xp, xq, cv = fk_outputs(qpos, qvel)
+        xpos_out[:] = xp
+        xquat_out[:] = xq
+        cvel_out[:] = cv
         qacc_out[:] = extras["qacc"]
         act_out[:] = extras["act_torque"]
         cforce_out[:] = extras["cforce"]
@@ -1092,7 +1126,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             args += [floor_z]
         args = [fold(a) for a in args]
 
-        out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc, 3 * nc]
+        out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc, 3 * nc, 3 * nb, 4 * nb, 6 * nb]
         out_shapes = [jax.ShapeDtypeStruct((r, ns, lanes), jnp.float32) for r in out_rows]
         outs = pl.pallas_call(
             kernel,
@@ -1185,14 +1219,14 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         hfield=hfield_blocks,
         floor_z=floor_z,
     )
-    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal = out
+    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal, xpos_f, xquat_f, cvel_f = out
 
-    # FK caches for observations/rewards
-    xpos, xquat = batched.fk_b(model, qpos)
-    rmats = batched._quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)
-    s_mat = batched.motion_subspace_b(model, xpos, rmats)
-    anc = jnp.asarray(_tables(model)["anc"])
-    cvel = jnp.einsum("nv,vsb->nsb", anc, s_mat * qvel[:, None])
+    # FK caches for observations/rewards come straight from the kernel
+    # (computed in-VMEM on the final state — no XLA-side FK rebuild)
+    nb = model.nbody
+    xpos = xpos_f.reshape(nb, 3, batch)
+    xquat = xquat_f.reshape(nb, 4, batch)
+    cvel = cvel_f.reshape(nb, 6, batch)
 
     if model.nterrain > 0 or has_hf:
         # rebuild (n, t1, t2) frames from the kernel's contact normals

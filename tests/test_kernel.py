@@ -47,6 +47,17 @@ def test_kernel_matches_batched_engine():
 
     np.testing.assert_allclose(np.asarray(out[0].T), np.asarray(ref.qpos), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out[1].T), np.asarray(ref.qvel), atol=2e-3)
+    # in-kernel final-state FK caches (xpos/xquat/cvel) vs the batched twin
+    nb = model.nbody
+    np.testing.assert_allclose(
+        np.asarray(out[9].reshape(nb, 3, B).transpose(2, 0, 1)), np.asarray(ref.xpos), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[10].reshape(nb, 4, B).transpose(2, 0, 1)), np.asarray(ref.xquat), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[11].reshape(nb, 6, B).transpose(2, 0, 1)), np.asarray(ref.cvel), atol=2e-3
+    )
     grf_k = np.asarray(jnp.sum(jnp.linalg.norm(out[4].reshape(nc, 3, B), axis=1) * out[6], axis=0))
     grf_r = np.asarray(jnp.sum(jnp.linalg.norm(ref.contact.force, axis=-1) * ref.contact.mask, axis=1))
     np.testing.assert_allclose(grf_k, grf_r, rtol=0.02, atol=1.0)
