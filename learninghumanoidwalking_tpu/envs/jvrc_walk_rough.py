@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from learninghumanoidwalking_tpu.envs.humanoid import load_config
@@ -93,3 +94,15 @@ class JvrcWalkRoughEnv(JvrcWalkEnv):
         # delegate to the walking reward with the inner walk state
         proxy = state.replace(task=task.walk)
         return super()._reward(proxy, physics, task.walk, target)
+
+    def render_markers(self, state) -> dict:
+        """Walking-mode overlay (task state is wrapped in RoughWalkState) plus
+        the episode's heightfield so eval renders show the actual terrain
+        (rl/render_gl.py injects it as a real MuJoCo hfield asset)."""
+        return {
+            "mode": self.MODE_NAMES[int(state.task.walk.mode)],
+            "mode_ref": np.asarray(state.task.walk.mode_ref),
+            "hfield": np.asarray(state.task.terrain.hfield),
+            "hfield_x0y0": np.asarray(state.task.terrain.hfield_x0y0),
+            "hfield_cell": np.asarray(state.task.terrain.hfield_cell),
+        }

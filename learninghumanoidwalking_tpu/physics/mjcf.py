@@ -45,9 +45,10 @@ def export_mjcf(
     boxes — the MuJoCo twin of engine.Terrain for stepping-stone goldens
     (/root/reference/tasks/stepping_task.py:320-334).
 
-    hfield: optional (nrow, ncol, rx, ry, zmax) — emits a MuJoCo heightfield
-    asset + geom centered at (0, 0, floor_z), the twin of Terrain.hfield for
-    the hfield goldens (the reference's jittered rough-terrain hfield,
+    hfield: optional (nrow, ncol, rx, ry, zmax) or (nrow, ncol, rx, ry, zmax,
+    cx, cy) — emits a MuJoCo heightfield asset + geom centered at
+    (cx, cy, floor_z) (default origin), the twin of Terrain.hfield for the
+    hfield goldens (the reference's jittered rough-terrain hfield,
     /root/reference/tasks/walking_task.py:173-179). The caller fills
     mj_model.hfield_data (normalized [0, 1], row-major y-then-x) after
     loading; heights = data * zmax above floor_z.
@@ -60,8 +61,11 @@ def export_mjcf(
     out = io.StringIO()
     out.write(f"<mujoco model='{spec.name}'>\n")
     out.write(f"  <option timestep='{timestep}' gravity='{_fmt(spec.gravity)}'/>\n")
+    hf_cx = hf_cy = 0.0
     if hfield is not None:
-        nrow, ncol, rx, ry, zmax = hfield
+        nrow, ncol, rx, ry, zmax, *hf_center = hfield
+        if hf_center:
+            hf_cx, hf_cy = hf_center
         out.write(
             "  <asset>\n"
             f"    <hfield name='terrain_hf' nrow='{int(nrow)}' ncol='{int(ncol)}' "
@@ -95,7 +99,7 @@ def export_mjcf(
     if hfield is not None:
         out.write(
             f"    <geom name='terrain_hf' type='hfield' hfield='terrain_hf' "
-            f"pos='0 0 {floor_z}' friction='1 0.005 0.0001'/>\n"
+            f"pos='{hf_cx} {hf_cy} {floor_z}' friction='1 0.005 0.0001'/>\n"
         )
     for ti, (tpos, tsize, tyaw) in enumerate(terrain_boxes or ()):
         half = 0.5 * float(tyaw)

@@ -125,10 +125,23 @@ def render_trajectory_gl(
 
     out_path = Path(out_path)
     floor_z = 0.0
+    hf_spec = hf_heights = None
     if markers is not None and markers and markers[0]:
         floor_z = float(markers[0].get("floor_z", 0.0))
-    xml = export_mjcf(env.spec, with_floor=True, floor_z=floor_z, visual=True)
+        if "hfield" in markers[0]:
+            # episode heightfield (jvrc_walk_rough) as a real MuJoCo hfield
+            # asset; frame-0 field (mid-episode re-jitters are not re-uploaded)
+            hf_heights = np.asarray(markers[0]["hfield"], np.float64)
+            x0y0 = np.asarray(markers[0]["hfield_x0y0"], np.float64)
+            cell = np.asarray(markers[0]["hfield_cell"], np.float64)
+            nrow, ncol = hf_heights.shape
+            rx, ry = (ncol - 1) * cell[0] / 2.0, (nrow - 1) * cell[1] / 2.0
+            zmax = max(float(hf_heights.max()), 1e-6)
+            hf_spec = (nrow, ncol, rx, ry, zmax, x0y0[0] + rx, x0y0[1] + ry)
+    xml = export_mjcf(env.spec, with_floor=True, floor_z=floor_z, visual=True, hfield=hf_spec)
     m = mujoco.MjModel.from_xml_string(xml)
+    if hf_heights is not None:
+        m.hfield_data[:] = (hf_heights / max(float(hf_heights.max()), 1e-6)).ravel()
     if m.nq != qpos_traj.shape[1]:
         raise ValueError(f"exported model nq={m.nq} != trajectory nq={qpos_traj.shape[1]}")
     d = mujoco.MjData(m)
