@@ -23,7 +23,11 @@ ROLLOUT_LEN = 16
 
 
 def timed(fn, fetch, n=3):
-    fn()  # compile + warm
+    # the warm call MUST fetch: axon dispatch is async and block_until_ready
+    # is unreliable (CLAUDE.md), so an unfetched warm call leaks its whole
+    # compile into the first timed iteration (observed: a 290 s cold compile
+    # charged to the "execution" average)
+    fetch(fn())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(n):
         fetch(fn())
@@ -104,6 +108,23 @@ def main():
     dt = timed(lambda: kernel_rollout(state0), lambda s: float(s.qpos[0, 2]), n=3)
     out["kernel_ms"] = round(dt * 1e3, 1)
     out["kernel_steps_per_s"] = round(NUM_ENVS * ROLLOUT_LEN / dt, 0)
+
+    # ---- full env step (kernel + pre/post: task/obs/reward/DR/RNG), no nets,
+    # no auto-reset, no GAE: isolates the env-side overhead above the kernel
+    env_state0 = holder["ts"].env_state
+
+    @jax.jit
+    def env_rollout(s):
+        def step(s, _):
+            s2 = env.step_batch(s, jnp.zeros((NUM_ENVS, env.action_size)))
+            return s2, ()
+
+        s, _ = jax.lax.scan(step, s, None, length=ROLLOUT_LEN)
+        return s
+
+    dt = timed(lambda: env_rollout(env_state0), lambda s: float(s.reward[0]), n=3)
+    out["envstep_ms"] = round(dt * 1e3, 1)
+    out["envstep_steps_per_s"] = round(NUM_ENVS * ROLLOUT_LEN / dt, 0)
 
     # ---- nets at rollout batch: actor + 2 critic forwards x rollout_len
     obs = holder["ts"].env_state.obs
