@@ -63,6 +63,11 @@ def export_mjcf(
     out.write(f"  <option timestep='{timestep}' gravity='{_fmt(spec.gravity)}'/>\n")
     hf_cx = hf_cy = 0.0
     if hfield is not None:
+        if len(hfield) not in (5, 7):
+            raise ValueError(
+                "hfield must be (nrow, ncol, rx, ry, zmax) or "
+                f"(nrow, ncol, rx, ry, zmax, cx, cy); got {len(hfield)} elements"
+            )
         nrow, ncol, rx, ry, zmax, *hf_center = hfield
         if hf_center:
             hf_cx, hf_cy = hf_center

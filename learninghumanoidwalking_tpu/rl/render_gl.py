@@ -126,22 +126,27 @@ def render_trajectory_gl(
     out_path = Path(out_path)
     floor_z = 0.0
     hf_spec = hf_heights = None
+    hf_zmax = 1e-6
     if markers is not None and markers and markers[0]:
         floor_z = float(markers[0].get("floor_z", 0.0))
         if "hfield" in markers[0]:
             # episode heightfield (jvrc_walk_rough) as a real MuJoCo hfield
-            # asset; frame-0 field (mid-episode re-jitters are not re-uploaded)
+            # asset. Mid-episode re-jitters are re-uploaded per frame below,
+            # so the asset's zmax must cover every frame's field, not just
+            # frame 0's.
             hf_heights = np.asarray(markers[0]["hfield"], np.float64)
             x0y0 = np.asarray(markers[0]["hfield_x0y0"], np.float64)
             cell = np.asarray(markers[0]["hfield_cell"], np.float64)
             nrow, ncol = hf_heights.shape
             rx, ry = (ncol - 1) * cell[0] / 2.0, (nrow - 1) * cell[1] / 2.0
-            zmax = max(float(hf_heights.max()), 1e-6)
-            hf_spec = (nrow, ncol, rx, ry, zmax, x0y0[0] + rx, x0y0[1] + ry)
+            for mk in markers:
+                if mk and "hfield" in mk:
+                    hf_zmax = max(hf_zmax, float(np.asarray(mk["hfield"]).max()))
+            hf_spec = (nrow, ncol, rx, ry, hf_zmax, x0y0[0] + rx, x0y0[1] + ry)
     xml = export_mjcf(env.spec, with_floor=True, floor_z=floor_z, visual=True, hfield=hf_spec)
     m = mujoco.MjModel.from_xml_string(xml)
     if hf_heights is not None:
-        m.hfield_data[:] = (hf_heights / max(float(hf_heights.max()), 1e-6)).ravel()
+        m.hfield_data[:] = (hf_heights / hf_zmax).ravel()
     if m.nq != qpos_traj.shape[1]:
         raise ValueError(f"exported model nq={m.nq} != trajectory nq={qpos_traj.shape[1]}")
     d = mujoco.MjData(m)
@@ -173,6 +178,14 @@ def render_trajectory_gl(
                     _add_connector(scn, d.xpos[p], d.xpos[bi], 0.025, skel_rgba)
             mk = markers[t] if markers is not None and t < len(markers) and markers[t] else None
             if mk is not None:
+                if hf_heights is not None and "hfield" in mk:
+                    # jvrc_walk_rough re-jitters terrain mid-episode; keep the
+                    # rendered hfield in sync with what the physics used.
+                    fh = np.asarray(mk["hfield"], np.float64)
+                    if fh.shape == hf_heights.shape and not np.array_equal(fh, hf_heights):
+                        hf_heights = fh
+                        m.hfield_data[:] = (fh / hf_zmax).ravel()
+                        mujoco.mjr_uploadHField(m, renderer._mjr_context, 0)
                 _draw_markers(scn, mk)
             frames.append(renderer.render().copy())
     finally:
