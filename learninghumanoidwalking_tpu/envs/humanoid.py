@@ -58,6 +58,20 @@ class HumanoidEnv(Env):
         self.action_smoothing = float(cfg.action_smoothing or 0.5)
         self.action_size = m.nu
 
+        # factorization-reuse interval R for the batched/kernel physics fast
+        # paths (PERFORMANCE.md round-5 lever): the mass-matrix Cholesky +
+        # contact basis refresh every R of the frame_skip substeps. Default 5
+        # where it divides frame_skip; YAML `physics_reuse_interval` (or the
+        # LHW_PHYSICS_REUSE env var — used by tests/the multichip dryrun to
+        # pin exact semantics and halve substep compile cost) overrides.
+        # Fidelity gates: tests/test_kernel.py (R=5 kernel==batched) and
+        # tests/test_mujoco_golden.py (batched R=5 vs MuJoCo).
+        import os
+
+        reuse_cfg = os.environ.get("LHW_PHYSICS_REUSE") or cfg.physics_reuse_interval
+        reuse = int(reuse_cfg) if reuse_cfg is not None else (5 if self.frame_skip % 5 == 0 else 1)
+        self.physics_reuse = reuse if (reuse > 0 and self.frame_skip % reuse == 0) else 1
+
         # whether _terrain(task) yields real terrain (box envs set this via
         # nterrain; hfield-only envs override to True after _finalize)
         self.has_terrain = m.nterrain > 0
@@ -393,6 +407,7 @@ class HumanoidEnv(Env):
                 self.model, states.dyn, states.physics, full_target,
                 self.frame_skip, self.sim_dt, terrain,
                 motor=(self.motor_params, states.motor),
+                reuse_interval=self.physics_reuse,
             )
             states = states.replace(motor=motor)
             return jax.vmap(self._post_step)(states, physics, actions, full_target)
@@ -400,11 +415,13 @@ class HumanoidEnv(Env):
             from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
 
             physics = pd_substeps_kernel(
-                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
+                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain,
+                reuse_interval=self.physics_reuse,
             )
         else:
             physics = pd_substeps_batched(
-                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain
+                self.model, states.dyn, states.physics, full_target, self.frame_skip, self.sim_dt, terrain,
+                reuse_interval=self.physics_reuse,
             )
         return jax.vmap(self._post_step)(states, physics, actions, full_target)
 

@@ -167,6 +167,17 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
     for i in range(1, nb):
         children[parent[i]].append(i)
 
+    # contact-basis bookkeeping (static): each foot body contributes 6 basis
+    # rows (SA_xyz, SL_xyz) masked to its ancestor dofs
+    foot_body_list = []
+    for gi in model.foot_geoms:
+        bi = model.geom_body[gi]
+        if bi not in foot_body_list:
+            foot_body_list.append(bi)
+    bkeys = [(b, k) for b in foot_body_list for k in range(6)]
+    key_idx = {k: i for i, k in enumerate(bkeys)}
+    nk = len(bkeys)
+
     # contact slots: (body, corner_local (3,), mu, kind) static. Flat models:
     # 4 "flat" slots per geom (corner vs z=0 plane). Terrain models: 4
     # "floor" slots (corner vs floor plane, static z frame) — or "hfield"
@@ -302,7 +313,13 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             jnp.concatenate(cvel),
         )
 
-    def substep(qpos, qvel, ctrl, ctx):
+    def substep(qpos, qvel, ctrl, ctx, cache=None):
+        """One substep. cache=None recomputes the mass-matrix factorization
+        + contact basis (refresh) and returns it; cache=(l_rows, basis,
+        gram, lg_cols) reuses the LAGGED factorization while FK, S, cvel,
+        bias forces and contact offsets/frames/impedance stay current — the
+        reuse-interval scheme (twin of physics.batched.step_b's cache
+        contract). Returns (qpos, qvel, extras, cache)."""
         # ---------------- FK ----------------
         xpos, xquat, rmats = fk(qpos)
 
@@ -376,28 +393,6 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
                 rows.append(jnp.concatenate(row))
             inertias.append(rows)  # list of 6 (6,TB) rows
 
-        # ---------------- CRBA: composite inertias + mass matrix ----------------
-        comp = [None] * nb
-        for i in range(nb - 1, 0, -1):
-            rows = inertias[i]
-            for ch in children[i]:
-                if ch == 0:
-                    continue
-                rows = [rows[r] + comp[ch][r] for r in range(6)]
-            comp[i] = rows
-        # F_d = Ic_{body(d)} S_d ; M[d,e] = S_e . F_d for e ancestor-of-or-eq d
-        m_rows = [[None] * nv for _ in range(nv)]
-        for d in range(nv):
-            bd = model.dof_body[d]
-            rows = comp[bd]
-            f_d = jnp.concatenate([_dot(rows[r], S[d]) for r in range(6)])  # (6,TB)
-            for e in range(nv):
-                if anc[bd, e] > 0.5:  # e on the path to root
-                    val = _dot(S[e], f_d)
-                    m_rows[d][e] = val
-                    m_rows[e][d] = val
-        # (armature & implicit damping are added when assembling Mh below)
-
         # ---------------- bias forces ----------------
         # a_i = a_parent + v_i x (S_d qd);  a_0 = -g
         g_block = jnp.concatenate(
@@ -467,21 +462,80 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             qfrc.append(f)
         qfrc = jnp.concatenate(qfrc)  # (nv,TB)
 
-        # ---------------- Mh cholesky + solve ----------------
-        # Mh rows as (nv,TB) blocks
-        mh_rows = []
-        for d in range(nv):
-            row = []
-            for e in range(nv):
-                v = m_rows[d][e]
-                if v is None:
-                    v = jnp.zeros((1, *tb))
-                if d == e:
-                    v = v + armature[d] + dt * ctx["damping"][d : d + 1]
-                row.append(v)
-            mh_rows.append(jnp.concatenate(row))  # (nv, TB)
+        # ---------------- refresh: M + Cholesky + contact basis ----------------
+        # M(q), its Cholesky, the contact basis B, Y = L^-1 B and its Gram
+        # all vary on the configuration timescale; when a cache is supplied
+        # (reuse-interval substeps) they are REUSED from the last refresh.
+        if cache is None:
+            # CRBA: composite inertias + mass matrix
+            comp = [None] * nb
+            for i in range(nb - 1, 0, -1):
+                rows = inertias[i]
+                for ch in children[i]:
+                    if ch == 0:
+                        continue
+                    rows = [rows[r] + comp[ch][r] for r in range(6)]
+                comp[i] = rows
+            # F_d = Ic_{body(d)} S_d ; M[d,e] = S_e . F_d for e ancestor-of-or-eq d
+            m_rows = [[None] * nv for _ in range(nv)]
+            for d in range(nv):
+                bd = model.dof_body[d]
+                rows = comp[bd]
+                f_d = jnp.concatenate([_dot(rows[r], S[d]) for r in range(6)])  # (6,TB)
+                for e in range(nv):
+                    if anc[bd, e] > 0.5:  # e on the path to root
+                        val = _dot(S[e], f_d)
+                        m_rows[d][e] = val
+                        m_rows[e][d] = val
+            # Mh rows as (nv,TB) blocks (armature + implicit damping on diag)
+            mh_rows = []
+            for d in range(nv):
+                row = []
+                for e in range(nv):
+                    v = m_rows[d][e]
+                    if v is None:
+                        v = jnp.zeros((1, *tb))
+                    if d == e:
+                        v = v + armature[d] + dt * ctx["damping"][d : d + 1]
+                    row.append(v)
+                mh_rows.append(jnp.concatenate(row))  # (nv, TB)
+            l_rows = _chol_rows(mh_rows, nv, tb)
 
-        l_rows, qacc_smooth = _chol_solve_rows(mh_rows, qfrc, nv, tb)
+            # contact basis: the corner jacobian for dof d is
+            # jp = S_lin - p x S_ang, so every contact row is a linear combo
+            # (coefficients = corner coordinates, fresh every substep) of the
+            # 6 body-level basis vectors masked to the foot's ancestor dofs
+            basis = {}  # (body, k) -> (nv,TB); k indexes S rows: 0..2 ang, 3..5 lin
+            for b in foot_body_list:
+                for k in range(6):
+                    rows = [
+                        S[d][k : k + 1] if anc[b, d] > 0.5 else jnp.zeros((1, *tb))
+                        for d in range(nv)
+                    ]
+                    basis[(b, k)] = jnp.concatenate(rows)
+
+            # Y = L^-1 B (forward substitutions only) and Gram G = Y^T Y
+            yb = {bk: _forward_rows(l_rows, blk, nv) for bk, blk in basis.items()}
+            gram = {}
+            for a_i, k1 in enumerate(bkeys):
+                for k2 in bkeys[a_i:]:
+                    g = _dot(yb[k1], yb[k2])
+                    gram[(k1, k2)] = g
+                    gram[(k2, k1)] = g
+            g_rows = []
+            for r_ in range(nk):
+                row = []
+                for c_ in range(nk):
+                    v = gram[(bkeys[r_], bkeys[c_])]
+                    if r_ == c_:
+                        v = v + 1e-8  # G is SPD (independent basis rows through M^-1)
+                    row.append(v)
+                g_rows.append(jnp.concatenate(row))
+            lg_cols = _chol_rows(g_rows, nk, tb)  # lower-tri columns, (nk,TB) each
+            cache = (l_rows, basis, gram, lg_cols)
+        l_rows, basis, gram, lg_cols = cache
+
+        qacc_smooth = _cho_solve_rows(l_rows, qfrc, nv, tb)
 
         # ---------------- contacts ----------------
         nt = model.nterrain
@@ -632,27 +686,13 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
                 cframes.append(((n0, n1, n2), (t10, t11, t12), (t20, t21, t22)))
         cmask = [jnp.where(d < eng.CONTACT_MARGIN, 1.0, 0.0) for d in cdist]
 
-        # Contact jacobians via a per-foot-body BASIS: the corner jacobian for
-        # dof d is jp = S_lin - p x S_ang, so every contact row is a 3-term
-        # linear combination (coefficients = corner coordinates) of the 6
-        # body-level basis vectors {SA_x,SA_y,SA_z,SL_x,SL_y,SL_z} masked to
-        # the foot's ancestor dofs. A = Jc M^-1 Jc^T = Y^T Y with Y = L^-1 B
-        # then needs only 6 FORWARD substitutions per foot (12 total) plus a
-        # 12x12 Gram, instead of 3*nc=24 full (fwd+bwd) M-solves — the
-        # dominant cost of the kernel in round 1 (PERFORMANCE.md ladder).
-        foot_bodies = []
-        for bi, _, _, _ in slots:
-            if bi not in foot_bodies:
-                foot_bodies.append(bi)
-        basis = {}  # (body, k) -> (nv,TB); k indexes S rows: 0..2 ang, 3..5 lin
-        for b in foot_bodies:
-            for k in range(6):
-                rows = [
-                    S[d][k : k + 1] if anc[b, d] > 0.5 else jnp.zeros((1, *tb))
-                    for d in range(nv)
-                ]
-                basis[(b, k)] = jnp.concatenate(rows)
-
+        # Contact jacobians via the per-foot-body BASIS (cached above): A =
+        # Jc M^-1 Jc^T = (C B) M^-1 (C B)^T = C (Y^T Y) C^T with Y = L^-1 B,
+        # needing only 6 FORWARD substitutions per foot (12 total, at
+        # refresh) plus the 12x12 Gram, instead of 3*nc=24 full (fwd+bwd)
+        # M-solves — the dominant cost of the kernel in round 1
+        # (PERFORMANCE.md ladder). The coefficient rows C (corner
+        # coordinates + contact frames) are rebuilt fresh every substep.
         def slot_coeffs_static(bi, p):
             """Flat-floor fast path: 3-term basis expansion of the contact
             rows for the static (z, x, y) frame.
@@ -684,16 +724,6 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             else:
                 for e in frame:
                     coeffs.append(slot_coeffs_frame(bi, p, e))
-
-        # Y = L^-1 B (forward substitutions only) and Gram G = Y^T Y
-        yb = {bk: _forward_rows(l_rows, blk, nv) for bk, blk in basis.items()}
-        bkeys = list(basis.keys())
-        gram = {}
-        for a_i, k1 in enumerate(bkeys):
-            for k2 in bkeys[a_i:]:
-                g = _dot(yb[k1], yb[k2])
-                gram[(k1, k2)] = g
-                gram[(k2, k1)] = g
 
         def combo_diag(ci):
             out = None
@@ -743,19 +773,6 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
         # slots the dense A + its factor alone (~18 MB of (1,8,128) blocks)
         # blow the 16 MB VMEM scope; this keeps the full (8,128) tile AND
         # cuts the contact-solve op count ~3x.
-        key_idx = {k: i for i, k in enumerate(bkeys)}
-        nk = len(bkeys)
-        g_rows = []
-        for r_ in range(nk):
-            row = []
-            for c_ in range(nk):
-                v = gram[(bkeys[r_], bkeys[c_])]
-                if r_ == c_:
-                    v = v + 1e-8  # G is SPD (independent basis rows through M^-1)
-                row.append(v)
-            g_rows.append(jnp.concatenate(row))
-        lg_cols = _chol_rows(g_rows, nk, tb)  # lower-tri columns, (nk,TB) each
-
         # Chat[i][k] = mask_i * sum_m w_m LG[idx(m), k]; LG[r,k] = lg_cols[k][r].
         # Rows only touch their own foot's 6 basis keys -> block sparsity.
         chat = []
@@ -914,7 +931,7 @@ def _build_substep(model: Model, dt: float, tb: int, hfield_shape=None):
             cpos=jnp.concatenate(cpos),
             cnormal=cnormal,
         )
-        return qpos_new, qvel_new, extras
+        return qpos_new, qvel_new, extras, cache
 
     return substep, nc, fk_outputs
 
@@ -998,7 +1015,7 @@ def _cho_solve_rows(l_cols, b, n, tb):
 # ---------------------------------------------------------------------------
 
 
-def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False, hfield_shape=None):
+def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False, hfield_shape=None, reuse: int = 1):
     """Build fn(qpos (nq,B), qvel (nv,B), target (nu,B), ctx blocks...) ->
     (qpos, qvel, qacc, act_torque, cforce (3nc,B), cdist (nc,B), cmask (nc,B),
     cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel.
@@ -1006,8 +1023,15 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
     `tb` = (sublanes, lanes): each block covers sublanes*lanes envs, so the
     per-env "scalar" (1, sub, lanes) ops use ALL 8 VPU sublanes instead of
     1/8 of a (1, lanes) vector register — the round-1 layout left 7/8 of the
-    VPU idle on every scalar op."""
+    VPU idle on every scalar op.
+
+    `reuse` = factorization-reuse interval R (must divide frame_skip): the
+    mass-matrix Cholesky + contact basis/Gram are recomputed every R substeps
+    and reused in between (M(q) varies on the 40 Hz configuration timescale,
+    not the 1 kHz substep timescale). R=1 is exact."""
     sub, lanes = tb
+    if reuse < 1 or frame_skip % reuse != 0:
+        raise ValueError(f"reuse={reuse} must divide frame_skip={frame_skip}")
     substep, nc, fk_outputs = _build_substep(model, dt, tb, hfield_shape=hfield_shape)
     nq, nv, nu, nb = model.nq, model.nv, model.nu, model.nbody
     t = _tables(model)
@@ -1053,20 +1077,31 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
 
-        def one(carry, _):
+        def one(carry, cache):
             qpos, qvel = carry
             q = qpos[aq0 : aq0 + nu]
             v = qvel[ad0 : ad0 + nu]
             tau = kp * (target - q) - kd * v - bemf * v
             ctrl = jnp.concatenate([tau[a : a + 1] / float(gear[a]) for a in range(nu)])
-            qpos, qvel, extras = substep(qpos, qvel, ctrl, ctx)
-            return (qpos, qvel), extras
+            qpos, qvel, extras, cache = substep(qpos, qvel, ctrl, ctx, cache)
+            return (qpos, qvel), extras, cache
 
-        # fori_loop keeps kernel code size at ONE substep; extras from the
-        # last iteration are what observations/rewards consume
-        def body(i, carry):
-            (qpos, qvel), _ = carry
-            return one((qpos, qvel), None)
+        # Nested fori_loops keep kernel code size at TWO substep
+        # instantiations (refresh + cached); extras from the last iteration
+        # are what observations/rewards consume. Substep 0 of each group
+        # refreshes the factorization; the next reuse-1 substeps run against
+        # the lagged cache (closure of the inner loop — loop-invariant).
+        def group(o, carry):
+            st, _ = carry
+            st, extras, cache = one(st, None)
+            if reuse > 1:
+                def inner(j, c2):
+                    st2, _ = c2
+                    st2, ex, _ = one(st2, cache)
+                    return (st2, ex)
+
+                st, extras = jax.lax.fori_loop(0, reuse - 1, inner, (st, extras))
+            return (st, extras)
 
         init_extras = dict(
             qacc=jnp.zeros((nv, *tb)),
@@ -1079,7 +1114,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             cnormal=jnp.zeros((3 * nc, *tb)),
         )
         (qpos, qvel), extras = jax.lax.fori_loop(
-            0, frame_skip, body, ((qpos_ref[:], qvel_ref[:]), init_extras)
+            0, frame_skip // reuse, group, ((qpos_ref[:], qvel_ref[:]), init_extras)
         )
         qpos_out[:] = qpos
         qvel_out[:] = qvel
@@ -1163,13 +1198,17 @@ def kernel_tile(batch: int, prefer: int = 128) -> tuple[int, int] | None:
     return None
 
 
-def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terrain=None, settle=False):
+def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terrain=None, settle=False, reuse_interval=1):
     """Same contract as physics.batched.pd_substeps_batched, physics fused
     into one pallas launch per control step. `terrain` is a leading-batch
     engine.Terrain (required when model.nterrain > 0).
 
     settle=True runs zero-torque substeps (reset settling) by zeroing the PD
     gains — same kernel, no extra compilation.
+
+    reuse_interval R: recompute the mass-matrix factorization + contact
+    basis only every R substeps (must divide frame_skip; anything else falls
+    back to 1 = exact semantics). Twin of pd_substeps_batched's knob.
     """
     from learninghumanoidwalking_tpu.physics import batched
     from learninghumanoidwalking_tpu.physics.model import Contact, PhysicsState
@@ -1178,9 +1217,12 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     tb = kernel_tile(batch)
     has_hf = terrain is not None and terrain.hfield is not None
     hf_shape = tuple(int(d) for d in terrain.hfield.shape[1:]) if has_hf else None
-    key = (id(model), frame_skip, float(sim_dt), tb, hf_shape)
+    reuse = int(reuse_interval or 1)
+    if reuse < 1 or frame_skip % reuse != 0:
+        reuse = 1
+    key = (id(model), frame_skip, float(sim_dt), tb, hf_shape, reuse)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape)
+        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape, reuse=reuse)
     run, nc = _KERNEL_CACHE[key]
 
     params_t = batched._params_to_trailing(params)

@@ -199,12 +199,14 @@ def motion_subspace_b(model: Model, xpos, rmats):
     return jnp.concatenate(blocks)
 
 
-def smooth_dynamics_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt):
-    """Trailing-batch smooth dynamics.
+def smooth_forces_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl):
+    """Per-substep FRESH half of the smooth dynamics: kinematic quantities
+    and generalized forces (everything that must track the current state
+    even when the mass-matrix factorization is reused across substeps).
 
     params_t: DynParams transposed to trailing batch (leaves (..., B)).
-    Returns (jac (nb,6,nv,B), chol (B,nv,nv), qacc_smooth (nv,B),
-    act_force (nu,B), s_mat, cvel)."""
+    Returns (jac (nb,6,nv,B), s_mat (nv,6,B), cvel (nb,6,B),
+    inertias (nb,6,6,B), qfrc_smooth (nv,B), act_force (nu,B))."""
     t = _tables(model)
     anc = jnp.asarray(t["anc"])  # (nb, nv)
 
@@ -242,9 +244,6 @@ def smooth_dynamics_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ct
     # body jacobians (nb, 6, nv, B) = S^T masked by ancestors
     jac = s_mat.transpose(1, 0, 2)[None] * anc[:, None, :, None]  # (nb,6,nv,B)
 
-    m_mat = jnp.einsum("najb,nakb,nklb->jlb", jac, inertias, jac)
-    m_mat = m_mat + jnp.asarray(np.diag(np.asarray(model.dof_armature)))[:, :, None]
-
     # bias (gravity trick: base acceleration = -g)
     v_dof = jnp.einsum("vn,nsb->vsb", jnp.asarray(np.eye(model.nbody, dtype=np.float32)[np.asarray(model.dof_body)]), cvel)
     cross_terms = _motion_cross(v_dof.transpose(1, 0, 2), sv.transpose(1, 0, 2)).transpose(1, 0, 2)  # (nv,6,B)
@@ -271,10 +270,31 @@ def smooth_dynamics_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ct
     qfrc_xfrc = jnp.einsum("najb,nab->jb", jac, f_spatial)
 
     qfrc_smooth = qfrc_act + qfrc_passive + qfrc_damp + qfrc_xfrc - qfrc_bias
+    return jac, s_mat, cvel, inertias, qfrc_smooth, act_force
 
+
+def factorize_b(model: Model, params_t, jac, inertias, dt):
+    """REFRESH-time factorization: CRBA mass matrix + implicit-damping
+    Cholesky. M(q) varies on the configuration timescale (~40 Hz), not the
+    1 kHz substep timescale, so pd_substeps_batched recomputes this only
+    every `reuse_interval` substeps (PERFORMANCE.md round-5 lever)."""
+    m_mat = jnp.einsum("najb,nakb,nklb->jlb", jac, inertias, jac)
+    m_mat = m_mat + jnp.asarray(np.diag(np.asarray(model.dof_armature)))[:, :, None]
     mh = m_mat + dt * _diag_embed_b(params_t.dof_damping)
     # unrolled Cholesky (trailing batch, no transposes, no custom calls)
-    chol = cholesky_outer(mh)  # (nv, nv, B)
+    return cholesky_outer(mh)  # (nv, nv, B)
+
+
+def smooth_dynamics_b(model: Model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt):
+    """Trailing-batch smooth dynamics (fresh factorization; composition of
+    smooth_forces_b + factorize_b, kept as the readable R=1 reading).
+
+    Returns (jac (nb,6,nv,B), chol (nv,nv,B), qacc_smooth (nv,B),
+    act_force (nu,B), s_mat, cvel)."""
+    jac, s_mat, cvel, inertias, qfrc_smooth, act_force = smooth_forces_b(
+        model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl
+    )
+    chol = factorize_b(model, params_t, jac, inertias, dt)
     qacc_smooth = cho_solve_outer(chol, qfrc_smooth)
     return jac, chol, qacc_smooth, act_force, s_mat, cvel
 
@@ -605,22 +625,34 @@ def integrate_b(model: Model, qpos, qvel, dt):
     return new_qpos
 
 
-def step_b(model: Model, params_t: DynParams, qpos, qvel, ctrl, dt, terrain_t=None):
+def step_b(model: Model, params_t: DynParams, qpos, qvel, ctrl, dt, terrain_t=None, cache=None):
     """One substep, trailing batch. Returns (qpos, qvel, qacc, act_force,
-    cpos, dist, mask, force, frame) — all trailing-batch."""
+    cpos, dist, mask, force, frame, cache) — all trailing-batch.
+
+    cache: optional (jac, chol) from an earlier refresh substep. When given,
+    the contact solve and both M-solves run against the LAGGED Cholesky and
+    LAGGED contact basis (body jacobians), while FK, S, cvel, bias forces and
+    contact offsets/frames/impedance stay current — the factorization-reuse
+    scheme (lag error O(|qvel| R dt), gated by the R=5 MuJoCo golden and the
+    kernel equivalence test). cache=None factorizes fresh (exact, R=1
+    semantics) and returns the new cache."""
     xpos, xquat = fk_b(model, qpos)
     rmats = _quat_to_mat(xquat.transpose(1, 0, 2)).transpose(2, 0, 1, 3)  # (nb,3,3,B)
-    jac, chol, qacc_smooth, act_force, s_mat, cvel = smooth_dynamics_b(
-        model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl, dt
+    jac, s_mat, cvel, inertias, qfrc_smooth, act_force = smooth_forces_b(
+        model, params_t, qpos, qvel, xpos, xquat, rmats, ctrl
     )
+    if cache is None:
+        cache = (jac, factorize_b(model, params_t, jac, inertias, dt))
+    jac_c, chol = cache
+    qacc_smooth = cho_solve_outer(chol, qfrc_smooth)
     cpos, dist, mask, cframe = detect_contacts_b(model, xpos, xquat, rmats, terrain_t)
-    qacc, force = constraint_solve_b(model, qvel, jac, chol, qacc_smooth, cpos, dist, mask, cframe)
+    qacc, force = constraint_solve_b(model, qvel, jac_c, chol, qacc_smooth, cpos, dist, mask, cframe)
     qvel = qvel + dt * qacc
     # runaway guard: contact penetration -> force -> velocity feedback can
     # overflow f32 within one control step; clamp far above physical speeds
     qvel = jnp.clip(qvel, -1e4, 1e4)
     qpos = integrate_b(model, qpos, qvel, dt)
-    return qpos, qvel, qacc, act_force, cpos, dist, mask, force, cframe
+    return qpos, qvel, qacc, act_force, cpos, dist, mask, force, cframe, cache
 
 
 # --------------------------------------------------------------------------
@@ -669,6 +701,7 @@ def pd_substeps_batched(
     terrain: Terrain | None = None,
     settle: bool = False,
     motor=None,
+    reuse_interval: int = 1,
 ) -> PhysicsState:
     """Batched drop-in for robots.pd.pd_substeps over a whole env batch.
 
@@ -682,6 +715,10 @@ def pd_substeps_batched(
     return value becomes (PhysicsState, MotorState) — the batched twin of
     robots.motor.pd_substeps_motor, keeping motor-enabled envs on the
     batch-in-lanes fast path instead of the vmapped single-env engine.
+
+    reuse_interval R: recompute the mass-matrix factorization + contact
+    basis only on substeps 0, R, 2R, ... (must divide frame_skip; anything
+    else falls back to 1 = exact semantics). See step_b's cache contract.
     """
     params_t = _params_to_trailing(params)
     terrain_t = _terrain_to_trailing(terrain)
@@ -701,7 +738,11 @@ def pd_substeps_batched(
     else:
         m_carry0 = None
 
-    def substep(carry, _):
+    reuse = int(reuse_interval or 1)
+    if reuse < 1 or frame_skip % reuse != 0:
+        reuse = 1
+
+    def substep(carry, cache):
         qpos, qvel, m_carry = carry
         if settle:
             ctrl = jnp.zeros((model.nu,) + qpos.shape[1:])
@@ -714,11 +755,26 @@ def pd_substeps_batched(
                 tau, qd_h, ct_h, count = motor_substep_torque_b(motor_params, qd_h, ct_h, count, v, tau)
                 m_carry = (qd_h, ct_h, count)
             ctrl = tau / jnp.asarray(np.asarray(model.actuator_gear))[:, None]
-        out = step_b(model, params_t, qpos, qvel, ctrl, sim_dt, terrain_t)
+        out = step_b(model, params_t, qpos, qvel, ctrl, sim_dt, terrain_t, cache=cache)
         qpos, qvel = out[0], out[1]
-        return (qpos, qvel, m_carry), out[2:]
+        return (qpos, qvel, m_carry), out[2:9], out[9]
 
-    (qpos, qvel, m_carry), tail = jax.lax.scan(substep, (qpos, qvel, m_carry0), None, length=frame_skip)
+    def group(carry, _):
+        # substep 0 of the group refreshes the factorization; the remaining
+        # reuse-1 substeps run against the lagged cache
+        carry, extras, cache = substep(carry, None)
+        if reuse > 1:
+            def inner(c, _):
+                c, ex, _ = substep(c, cache)
+                return c, ex
+
+            carry, tail = jax.lax.scan(inner, carry, None, length=reuse - 1)
+            extras = jax.tree.map(lambda x: x[-1], tail)
+        return carry, extras
+
+    (qpos, qvel, m_carry), tail = jax.lax.scan(
+        group, (qpos, qvel, m_carry0), None, length=frame_skip // reuse
+    )
     qacc, act_force, cpos, dist, mask, force, cframe = [jax.tree.map(lambda x: x[-1], t) for t in tail]
 
     # rebuild leading-batch state with fresh FK caches

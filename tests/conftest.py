@@ -12,6 +12,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+# Pin the physics factorization-reuse interval to 1 (exact semantics) for
+# env-level tests: R>1 traces TWO substep instantiations per control step,
+# nearly doubling the already 1-core-host-limited env compile times, and the
+# reuse path has its own dedicated gates (test_kernel.py R=5 equivalence,
+# test_mujoco_golden.py batched-R5 golden) that construct engines explicitly.
+os.environ.setdefault("LHW_PHYSICS_REUSE", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -64,6 +64,52 @@ def test_kernel_matches_batched_engine():
 
 
 @pytest.mark.slow
+def test_kernel_reuse5_matches_batched_engine():
+    """Factorization-reuse interval R=5 (PERFORMANCE.md round-5 lever): the
+    kernel and the batched engine must lag the SAME objects (mass-matrix
+    Cholesky + contact basis/Gram) at the same substeps, so their R=5
+    trajectories agree to the same tolerance as the exact R=1 paths."""
+    TB, B, FRAME_SKIP, R = (2, 4), 8, 10, 5  # two refresh groups
+    model = lower(jvrc_spec())
+    run, nc = make_control_step(model, FRAME_SKIP, 0.001, tb=TB, interpret=True, reuse=R)
+
+    rng = np.random.default_rng(3)
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose]).astype(np.float32)[:, None], (1, B))
+    qpos[:2] += 0.01 * rng.standard_normal((2, B)).astype(np.float32)
+    qvel = (0.05 * rng.standard_normal((18, B))).astype(np.float32)
+    target = pose[:, None] + 0.05 * rng.standard_normal((12, B)).astype(np.float32)
+    kp = np.tile(np.array([200, 200, 200, 250, 80, 80] * 2, np.float32)[:, None], (1, B))
+    kd = np.tile(np.array([20, 20, 20, 25, 8, 8] * 2, np.float32)[:, None], (1, B))
+    bemf = np.zeros((12, B), np.float32)
+
+    p1 = default_dyn_params(model, jnp.asarray(kp[:, 0]), jnp.asarray(kd[:, 0]))
+    params_b = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+    params_t = batched._params_to_trailing(params_b)
+
+    out = run(
+        jnp.asarray(qpos), jnp.asarray(qvel), jnp.asarray(target), jnp.asarray(kp), jnp.asarray(kd),
+        jnp.asarray(bemf), params_t.dof_damping, params_t.dof_frictionloss, params_t.body_mass,
+        params_t.body_ipos.reshape(-1, B), jnp.concatenate([params_t.xfrc[i] for i in range(model.nbody)]),
+    )
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos.T), jnp.asarray(qvel.T))
+    ref = batched.pd_substeps_batched(
+        model, params_b, states, jnp.asarray(target.T), FRAME_SKIP, 0.001, reuse_interval=R
+    )
+    np.testing.assert_allclose(np.asarray(out[0].T), np.asarray(ref.qpos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out[1].T), np.asarray(ref.qvel), atol=2e-3)
+
+    # the reuse must actually engage: R=5 differs from the exact rollout
+    ref1 = batched.pd_substeps_batched(
+        model, params_b, states, jnp.asarray(target.T), FRAME_SKIP, 0.001, reuse_interval=1
+    )
+    assert np.abs(np.asarray(ref.qvel) - np.asarray(ref1.qvel)).max() > 0.0
+    # ... but only by the O(|qvel| R dt) lag error, far inside fall scales
+    np.testing.assert_allclose(np.asarray(ref.qpos), np.asarray(ref1.qpos), atol=5e-4)
+
+
+@pytest.mark.slow
 def test_kernel_terrain_matches_batched_engine():
     """Terrain (stepping-stone) contacts through the kernel's support-height
     inputs must match the batched engine's query."""
@@ -74,7 +120,7 @@ def test_kernel_terrain_matches_batched_engine():
     TB = (1, 8)  # must match kernel_tile(B) so pd_substeps_kernel hits the cache
     NT = 6
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     rng = np.random.default_rng(0)
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
@@ -114,7 +160,7 @@ def test_kernel_side_face_matches_batched():
     TB = (1, 8)
     NT = 2
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
     qpos = np.tile(

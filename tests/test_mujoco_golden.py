@@ -99,6 +99,54 @@ def test_pd_held_trajectory_matches_mujoco(robot):
     assert abs(grf_mj[300:].mean() - grf_j[300:].mean()) / grf_mj[300:].mean() < 0.05
 
 
+@pytest.mark.slow
+def test_pd_held_trajectory_reuse5_matches_mujoco():
+    """The factorization-reuse fast path (R=5: mass-matrix Cholesky +
+    contact basis refreshed every 5th of the 1 kHz substeps, reused in
+    between — PERFORMANCE.md round-5 lever) must stay inside the SAME golden
+    gates as the exact engine: mean |dz| < 5 mm and settled GRF within 5%
+    over 0.5 s of PD-held contact dynamics. Lag error is O(|qvel| R dt)."""
+    from learninghumanoidwalking_tpu.models.jvrc import HALF_SITTING_POSE_DEG, NOMINAL_HEIGHT, jvrc_spec
+    from learninghumanoidwalking_tpu.physics import batched
+
+    spec = jvrc_spec()
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG)
+    kp = np.array([200, 200, 200, 250, 80, 80] * 2, dtype=np.float64)
+    kd = np.array([20, 20, 20, 25, 8, 8] * 2, dtype=np.float64)
+    qpos0 = np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose])
+    steps = 500
+    xml = export_mjcf(spec)
+    zs_mj, grf_mj, mass_mj, _ = _run_mujoco(xml, qpos0, pose, kp, kd, steps)
+
+    model = lower(spec)
+    params = jax.tree.map(
+        lambda x: x[None],
+        default_dyn_params(model, jnp.asarray(kp, jnp.float32), jnp.asarray(kd, jnp.float32)),
+    )
+    state = jax.tree.map(
+        lambda x: x[None], engine.make_state(model, jnp.asarray(qpos0, jnp.float32), jnp.zeros(model.nv))
+    )
+    target = jnp.asarray(pose, jnp.float32)[None]
+
+    @jax.jit
+    def roll(state):
+        def body(s, _):
+            # one refresh group per call: PD torque still updates every 1 ms
+            # substep inside; only the factorization is lagged
+            s = batched.pd_substeps_batched(model, params, s, target, 5, 0.001, reuse_interval=5)
+            f = jnp.sum(jnp.linalg.norm(s.contact.force, axis=-1) * s.contact.mask)
+            return s, (s.qpos[0, 2], f)
+
+        return jax.lax.scan(body, state, None, length=steps // 5)
+
+    _, (zs_j, grf_j) = roll(state)
+    zs_j, grf_j = np.asarray(zs_j), np.asarray(grf_j)
+    # compare at the 5-substep cadence the batched call reports
+    zs_mj5, grf_mj5 = zs_mj[4::5], grf_mj[4::5]
+    assert np.abs(zs_mj5 - zs_j).mean() < 0.005, f"mean |dz| {np.abs(zs_mj5 - zs_j).mean():.4f}"
+    assert abs(grf_mj5[60:].mean() - grf_j[60:].mean()) / grf_mj5[60:].mean() < 0.05
+
+
 def _jvrc_setup():
     from learninghumanoidwalking_tpu.models.jvrc import HALF_SITTING_POSE_DEG, NOMINAL_HEIGHT, jvrc_spec
 
