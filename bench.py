@@ -227,7 +227,11 @@ def main():
     # tunneled axon runtime)
     ts, batch, k_upd, rm = ppo._sample_iter(ts)
     float(rm["mean_reward"])  # compile + warm up
-    n_iters = 5
+    # 20 iterations ≈ 2.5 s of device time: each iteration is only ~0.12 s
+    # at 4.4M steps/s, and the per-fetch latency of the tunneled axon
+    # runtime is noisy enough to swing a 5-iteration measurement ±15%
+    # (observed round 5: 3.2M vs 4.5M on back-to-back runs)
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         ts, batch, k_upd, rm = ppo._sample_iter(ts)
@@ -252,7 +256,7 @@ def main():
         try:
             ts2, aux = ppo._optimize_iter(ts, batch, k_upd)
             float(aux["actor_loss"])  # compile
-            n_train = 3
+            n_train = 8
             t0 = time.perf_counter()
             for _ in range(n_train):
                 ts2, batch, k_upd, rm = ppo._sample_iter(ts2)
