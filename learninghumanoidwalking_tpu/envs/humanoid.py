@@ -68,8 +68,16 @@ class HumanoidEnv(Env):
         # tests/test_mujoco_golden.py (batched R=5 vs MuJoCo).
         import os
 
+        # Terrain models default to R=1: the 16-contact-slot kernels already
+        # sit near the 16 MB VMEM scope (see the Woodbury note in
+        # ops/substep_kernel.py), and carrying the ~3 MB reuse cache through
+        # the inner loop blows it (measured: 18.5 MB scoped-vmem OOM on
+        # jvrc_step at R=5). pd_substeps_kernel clamps to 1 for terrain/
+        # hfield models regardless; hfield envs (nterrain == 0 at lower time)
+        # re-pin physics_reuse = 1 after _finalize.
         reuse_cfg = os.environ.get("LHW_PHYSICS_REUSE") or cfg.physics_reuse_interval
-        reuse = int(reuse_cfg) if reuse_cfg is not None else (5 if self.frame_skip % 5 == 0 else 1)
+        default = 5 if (self.frame_skip % 5 == 0 and m.nterrain == 0) else 1
+        reuse = int(reuse_cfg) if reuse_cfg is not None else default
         self.physics_reuse = reuse if (reuse > 0 and self.frame_skip % reuse == 0) else 1
 
         # whether _terrain(task) yields real terrain (box envs set this via

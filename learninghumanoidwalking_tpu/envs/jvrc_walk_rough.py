@@ -62,6 +62,10 @@ class JvrcWalkRoughEnv(JvrcWalkEnv):
         self.model = lower(self.spec)
         self._finalize()
         self.has_terrain = True  # hfield-only terrain (model.nterrain == 0)
+        # hfield kernels carry per-env heightfield blocks and sit near the
+        # VMEM scope like the box-terrain ones — exact R=1 semantics here
+        # (see envs/humanoid.py reuse note; pd_substeps_kernel clamps too)
+        self.physics_reuse = 1
         self._setup_walking()
         self._setup_mirror()
 

@@ -1220,6 +1220,11 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     reuse = int(reuse_interval or 1)
     if reuse < 1 or frame_skip % reuse != 0:
         reuse = 1
+    if model.nterrain > 0 or has_hf:
+        # terrain/hfield kernels already run near the 16 MB VMEM scope
+        # (Woodbury note in _build_substep); carrying the reuse cache through
+        # the inner loop overflows it (measured 18.5 MB at R=5 on jvrc_step)
+        reuse = 1
     key = (id(model), frame_skip, float(sim_dt), tb, hf_shape, reuse)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape, reuse=reuse)
