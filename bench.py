@@ -38,6 +38,12 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 # (elementwise) work, so "MFU" here is a utilization *estimate*: counted
 # flops per second over the bf16 MXU peak — a lower bound on headroom.
 V5E_PEAK_FLOPS = 197e12
+# The unit the kernel actually runs on: the VPU is an (8, 128) vector unit
+# with ~4 ALU slots at the ~1.5 GHz core clock -> ~6 TFLOP/s f32 order.
+# Counted-flops / this peak is the honest utilization of the elementwise
+# pipeline (the MXU-normalized number above is what's on the table only if
+# the math were restructured into large matmuls).
+V5E_VPU_PEAK_FLOPS = 6.1e12
 
 
 def _remaining() -> float:
@@ -284,6 +290,9 @@ def main():
             result["kernel_gflops"] = round(kernel_flops * sps * env.frame_skip / 1e9, 1)
             result["hw_utilization_est"] = round(
                 kernel_flops * sps * env.frame_skip / V5E_PEAK_FLOPS, 4
+            )
+            result["vpu_utilization_est"] = round(
+                kernel_flops * sps * env.frame_skip / V5E_VPU_PEAK_FLOPS, 4
             )
         except Exception:
             pass
