@@ -182,8 +182,19 @@ def evaluate(argv):
     p.add_argument("--max-steps", type=int, default=400)
     p.add_argument("--out", type=Path, default=None, help="where to write the trajectory npz / mp4")
     p.add_argument("--deterministic", action="store_true", default=True)
+    p.add_argument("--view", action="store_true",
+                   help="live interactive viewer (needs a display; space pauses)")
+    p.add_argument("--no-realtime", action="store_true",
+                   help="with --view: run as fast as possible instead of real-time pacing")
     args = p.parse_args(argv)
     system_banner()
+
+    if args.view:
+        from learninghumanoidwalking_tpu.rl.viewer import view_policy
+
+        view_policy(args.path, episodes=args.episodes, max_steps=args.max_steps,
+                    realtime=not args.no_realtime)
+        return
 
     from learninghumanoidwalking_tpu.rl.eval import evaluate_policy
 

@@ -117,6 +117,109 @@ def test_recurrent_train_save_load_rollout(tmp_path):
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
+def test_viewer_loop_pacing_and_pause():
+    """ViewerLoop real-time pacing + pause-on-space semantics (reference
+    rl/utils/eval.py:78-81 pacing sleep, mujoco_env.py:48-52 space toggle),
+    display-free via injected clock/sleep/viewer."""
+    from learninghumanoidwalking_tpu.rl.viewer import ViewerLoop
+
+    sleeps = []
+    t = [0.0]
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        t[0] += s
+
+    class FakeViewer:
+        def __init__(self):
+            self.syncs = 0
+
+        def is_running(self):
+            return True
+
+        def sync(self):
+            self.syncs += 1
+
+    loop = ViewerLoop(control_dt=0.05, realtime=True, sleep_fn=sleep, clock=clock)
+    v = FakeViewer()
+
+    def step_fn():
+        t[0] += 0.01  # "physics" costs 10 ms of the 50 ms budget
+        return False
+
+    n = loop.run_episode(v, step_fn, lambda: None, max_steps=4)
+    assert n == 4 and v.syncs == 4
+    # each step slept the 40 ms leftover of the 50 ms control period
+    np.testing.assert_allclose(sleeps, [0.04] * 4, atol=1e-9)
+
+    # paused: no physics advances, but the window keeps syncing; unpausing
+    # resumes stepping
+    loop2 = ViewerLoop(control_dt=0.05, realtime=False, sleep_fn=sleep, clock=clock)
+    loop2.paused = True
+    v2 = FakeViewer()
+    stepped = [0]
+    calls = [0]
+
+    def step2():
+        stepped[0] += 1
+        return False
+
+    orig_sleep = loop2._sleep
+
+    def unpause_after_3(s):
+        calls[0] += 1
+        if calls[0] == 3:
+            loop2.toggle_pause()
+        orig_sleep(s)
+
+    loop2._sleep = unpause_after_3
+    n2 = loop2.run_episode(v2, step2, lambda: None, max_steps=2)
+    assert n2 == 2 and stepped[0] == 2
+    assert v2.syncs >= 5  # 3 paused syncs + 2 live syncs
+
+    # early termination: step_fn reporting done ends the episode
+    loop3 = ViewerLoop(control_dt=0.05, realtime=False, sleep_fn=sleep, clock=clock)
+    v3 = FakeViewer()
+    n3 = loop3.run_episode(v3, lambda: True, lambda: None, max_steps=10)
+    assert n3 == 1
+
+
+def test_view_policy_with_fake_viewer(trained):
+    """Full view_policy path against the trained cartpole run: MJCF export,
+    MjData mirroring, policy stepping — with the GLFW window replaced by a
+    fake (reference EvaluateEnv.run, rl/utils/eval.py:37-86)."""
+    pytest.importorskip("mujoco")
+    import contextlib
+
+    from learninghumanoidwalking_tpu.rl.viewer import view_policy
+
+    _, _, _, _, tmp = trained
+
+    class FakeViewer:
+        def __init__(self):
+            self.syncs = 0
+            self.user_scn = None
+
+        def is_running(self):
+            return True
+
+        def sync(self):
+            self.syncs += 1
+
+    fake = FakeViewer()
+
+    @contextlib.contextmanager
+    def launch():
+        yield fake
+
+    loop = view_policy(tmp, episodes=2, max_steps=3, realtime=False, launch_fn=launch)
+    assert fake.syncs == 6  # 2 episodes x 3 steps, none terminated early
+    assert loop.control_dt > 0
+
+
 def test_resume(trained):
     env, ppo, ck, ts, tmp = trained
     target = ppo.init_state(jax.random.PRNGKey(9))
