@@ -17,15 +17,31 @@ import os
 
 
 def host_salt() -> str:
-    """Short stable id of this host's CPU feature set."""
+    """Short stable id of this host's CPU identity.
+
+    Hashes the model identity lines (vendor/family/model/stepping/name) in
+    addition to the feature flags: LLVM derives per-microarchitecture tuning
+    features (e.g. +prefer-no-gather) from the CPU *model*, so two hosts can
+    expose identical /proc/cpuinfo flag lines yet produce mutually
+    incompatible AOT code (observed: segfault in
+    compilation_cache.get_executable_and_time after a VM migration whose
+    flags-only salt collided; cpu_aot_loader flagged '+prefer-no-gather is
+    not supported on the host machine')."""
+    keys = ("flags", "Features", "vendor_id", "cpu family", "model",
+            "model name", "stepping", "CPU implementer", "CPU part")
+    ident: dict[str, str] = {}
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                k = line.split(":", 1)[0].strip()
+                if k in keys and k not in ident:
+                    ident[k] = line.strip()
     except OSError:
         pass
-    return "nocpuinfo"
+    if not ident:
+        return "nocpuinfo"
+    blob = "\n".join(ident[k] for k in keys if k in ident)
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
 
 
 def enable_compile_cache(base: str, min_compile_secs: float = 2.0) -> str | None:
