@@ -407,16 +407,25 @@ class HumanoidEnv(Env):
         full_target = jax.vmap(self._pre_step)(states, actions)
         terrain = jax.vmap(self._terrain)(states.task) if self.has_terrain else None
         if self.motor_enabled:
-            # motor-dynamics history threading rides the batch-in-lanes
-            # engine (not the pallas kernel, whose 25 fused substeps have no
-            # torque-injection hook) — still ~an order of magnitude faster
-            # than the previous vmapped single-env route
-            physics, motor = pd_substeps_batched(
-                self.model, states.dyn, states.physics, full_target,
-                self.frame_skip, self.sim_dt, terrain,
-                motor=(self.motor_params, states.motor),
-                reuse_interval=self.physics_reuse,
-            )
+            # motor-dynamics history threads through the fused pallas kernel
+            # on TPU (weights baked as constants, robots/motor.py semantics);
+            # the batch-in-lanes engine is the CPU/odd-batch twin
+            if self._use_kernel(actions.shape[0]):
+                from learninghumanoidwalking_tpu.ops.substep_kernel import pd_substeps_kernel
+
+                physics, motor = pd_substeps_kernel(
+                    self.model, states.dyn, states.physics, full_target,
+                    self.frame_skip, self.sim_dt, terrain,
+                    motor=(self.motor_params, states.motor),
+                    reuse_interval=self.physics_reuse,
+                )
+            else:
+                physics, motor = pd_substeps_batched(
+                    self.model, states.dyn, states.physics, full_target,
+                    self.frame_skip, self.sim_dt, terrain,
+                    motor=(self.motor_params, states.motor),
+                    reuse_interval=self.physics_reuse,
+                )
             states = states.replace(motor=motor)
             return jax.vmap(self._post_step)(states, physics, actions, full_target)
         if self._use_kernel(actions.shape[0]):

@@ -1011,11 +1011,102 @@ def _cho_solve_rows(l_cols, b, n, tb):
 
 
 # ---------------------------------------------------------------------------
+# learned motor-dynamics hook (robots/motor.py inside the kernel)
+# ---------------------------------------------------------------------------
+
+
+def _motor_param_blocks(params: dict) -> list[np.ndarray]:
+    """Flatten the stacked per-joint MLP params (robots/motor.py) into the
+    2D blocks the kernel takes as (non-batched) inputs, in ref order:
+    w0 (nu*d0, h0), b0 (nu, h0), w1 (nu*h0, h1), b1 (nu, h1), ...,
+    skip (nu, 1). The weights are frozen at env construction (the reference
+    loads pretrained TorchScript nets; ours come from init/npz) but pallas
+    does not allow captured array constants, so they ride as inputs with a
+    grid-constant index map — a few hundred KB of VMEM."""
+    n_layers = int(params["n_layers"])
+    blocks = []
+    for li in range(n_layers):
+        w = np.asarray(params[f"w{li}"], np.float32)  # (nu, di, do)
+        blocks.append(w.reshape(-1, w.shape[2]))
+        blocks.append(np.asarray(params[f"b{li}"], np.float32))  # (nu, do)
+    blocks.append(np.asarray(params["skip"], np.float32).reshape(-1, 1))  # (nu, 1)
+    return blocks
+
+
+def _build_motor_apply(params: dict, nu: int, hist_len: int):
+    """In-kernel twin of robots.motor.motor_substep_torque_b
+    (robot_interface.py:25-58 warmup/2-substep cadence, :510-533 hook).
+
+    Returns apply(prefs, qd_h, ct_h, cnt, v, tau) where prefs are the
+    param refs in _motor_param_blocks order. Each per-joint layer matmul is
+    do broadcast-multiply row reductions over the joint's contiguous
+    (di, sub, lanes) activation block — ~nu*(h1+h2+1) vector ops per
+    substep instead of a full scalar unroll.
+
+    History layout: JOINT-MAJOR rows — qd_hist/ct_hist are (nu*H, sub,
+    lanes) blocks with row n*H+h = joint n, history slot h (oldest first,
+    newest last), so each joint's MLP input is a contiguous row slice (the
+    leading block dim is untiled in Mosaic — free slicing). The substep
+    counter rides as an f32 (1, sub, lanes) block (exact for any episode
+    length this framework runs).
+    """
+    H = hist_len
+    n_layers = int(params["n_layers"])
+    dims = [np.asarray(params[f"w{li}"], np.float32).shape for li in range(n_layers)]
+    assert dims[0][1] == 2 * H and dims[0][0] == nu, dims
+
+    def apply(prefs, qd_h, ct_h, cnt, v, tau):
+        warm = cnt < float(H)  # (1, sub, lanes)
+        even = (cnt - 2.0 * jnp.floor(cnt * 0.5)) < 0.5
+        update = jnp.logical_or(warm, even)
+
+        def push(hist, new):
+            parts = []
+            for n in range(nu):
+                parts.append(hist[n * H + 1 : (n + 1) * H])
+                parts.append(new[n : n + 1])
+            return jnp.where(update, jnp.concatenate(parts), hist)
+
+        qd_h = push(qd_h, v)
+        ct_h = push(ct_h, tau)
+
+        Ws = [prefs[2 * li][:] for li in range(n_layers)]  # (nu*di, do)
+        Bs = [prefs[2 * li + 1][:] for li in range(n_layers)]  # (nu, do)
+        skip = prefs[2 * n_layers][:]  # (nu, 1)
+
+        outs = []
+        for n in range(nu):
+            x = jnp.concatenate([qd_h[n * H : (n + 1) * H], ct_h[n * H : (n + 1) * H]])
+            for li in range(n_layers):
+                di, do = dims[li][1], dims[li][2]
+                wn = Ws[li][n * di : (n + 1) * di]  # (di, do)
+                bn = Bs[li][n : n + 1]  # (1, do)
+                # NB: slice and expand_dims stay separate ops — a basic index
+                # mixing `o:o+1` with None lowers through lax.gather, which
+                # Mosaic rejects inside the kernel
+                cols = [
+                    jnp.sum(x * jnp.expand_dims(wn[:, o : o + 1], -1), axis=0, keepdims=True)
+                    + jnp.expand_dims(bn[:, o : o + 1], -1)
+                    for o in range(do)
+                ]
+                x = jnp.concatenate(cols) if len(cols) > 1 else cols[0]
+                if li < n_layers - 1:
+                    x = jnp.tanh(x)
+            outs.append(
+                jnp.expand_dims(skip[n : n + 1], -1) * ct_h[(n + 1) * H - 1 : (n + 1) * H] + x[0:1]
+            )
+        act = jnp.where(warm, tau, jnp.concatenate(outs))
+        return act, qd_h, ct_h, cnt + 1.0
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrapper + env boundary
 # ---------------------------------------------------------------------------
 
 
-def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False, hfield_shape=None, reuse: int = 1):
+def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), interpret: bool = False, hfield_shape=None, reuse: int = 1, motor: dict | None = None):
     """Build fn(qpos (nq,B), qvel (nv,B), target (nu,B), ctx blocks...) ->
     (qpos, qvel, qacc, act_torque, cforce (3nc,B), cdist (nc,B), cmask (nc,B),
     cpos (3nc,B)) running `frame_skip` substeps in one pallas kernel.
@@ -1028,7 +1119,13 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
     `reuse` = factorization-reuse interval R (must divide frame_skip): the
     mass-matrix Cholesky + contact basis/Gram are recomputed every R substeps
     and reused in between (M(q) varies on the 40 Hz configuration timescale,
-    not the 1 kHz substep timescale). R=1 is exact."""
+    not the 1 kHz substep timescale). R=1 is exact.
+
+    `motor` = optional motor-dynamics param dict (robots/motor.py): adds
+    (qd_hist (nu*H,B), ct_hist (nu*H,B), count (1,B)) inputs + the updated
+    triple as outputs, and routes every substep's PD torque through the
+    learned per-joint nets (frozen weights ride as grid-constant VMEM
+    inputs — pallas forbids captured array constants)."""
     sub, lanes = tb
     if reuse < 1 or frame_skip % reuse != 0:
         raise ValueError(f"reuse={reuse} must divide frame_skip={frame_skip}")
@@ -1041,6 +1138,8 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
 
     nt = model.nterrain
     has_hf = hfield_shape is not None
+    hist_len = int(np.asarray(motor["w0"]).shape[1]) // 2 if motor is not None else 0
+    motor_apply = _build_motor_apply(motor, nu, hist_len) if motor is not None else None
 
     def kernel(*refs):
         (qpos_ref, qvel_ref, target_ref, kp_ref, kd_ref, bemf_ref,
@@ -1071,20 +1170,32 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         if has_hf or nt > 0:
             ctx["floor_z"] = refs[idx][:]
             idx += 1
+        if motor_apply is not None:
+            qd_ref, ct_ref, cnt_ref = refs[idx : idx + 3]
+            idx += 3
+            n_prefs = 2 * int(np.asarray(motor["n_layers"])) + 1
+            motor_prefs = refs[idx : idx + n_prefs]
+            idx += n_prefs
         outs = refs[idx:]
         (qpos_out, qvel_out, qacc_out, act_out, cforce_out, cdist_out, cmask_out, cpos_out, cnormal_out,
-         xpos_out, xquat_out, cvel_out) = outs
+         xpos_out, xquat_out, cvel_out) = outs[:12]
         target = target_ref[:]
         kp, kd, bemf = kp_ref[:], kd_ref[:], bemf_ref[:]
 
         def one(carry, cache):
-            qpos, qvel = carry
+            if motor_apply is None:
+                qpos, qvel = carry
+            else:
+                qpos, qvel, qd_h, ct_h, cnt = carry
             q = qpos[aq0 : aq0 + nu]
             v = qvel[ad0 : ad0 + nu]
             tau = kp * (target - q) - kd * v - bemf * v
+            if motor_apply is not None:
+                tau, qd_h, ct_h, cnt = motor_apply(motor_prefs, qd_h, ct_h, cnt, v, tau)
             ctrl = jnp.concatenate([tau[a : a + 1] / float(gear[a]) for a in range(nu)])
             qpos, qvel, extras, cache = substep(qpos, qvel, ctrl, ctx, cache)
-            return (qpos, qvel), extras, cache
+            st = (qpos, qvel) if motor_apply is None else (qpos, qvel, qd_h, ct_h, cnt)
+            return st, extras, cache
 
         # Nested fori_loops keep kernel code size at TWO substep
         # instantiations (refresh + cached); extras from the last iteration
@@ -1113,9 +1224,15 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
             cpos=jnp.zeros((3 * nc, *tb)),
             cnormal=jnp.zeros((3 * nc, *tb)),
         )
-        (qpos, qvel), extras = jax.lax.fori_loop(
-            0, frame_skip // reuse, group, ((qpos_ref[:], qvel_ref[:]), init_extras)
-        )
+        st0 = (qpos_ref[:], qvel_ref[:])
+        if motor_apply is not None:
+            st0 = st0 + (qd_ref[:], ct_ref[:], cnt_ref[:])
+        st, extras = jax.lax.fori_loop(0, frame_skip // reuse, group, (st0, init_extras))
+        qpos, qvel = st[0], st[1]
+        if motor_apply is not None:
+            outs[12][:] = st[2]
+            outs[13][:] = st[3]
+            outs[14][:] = st[4]
         qpos_out[:] = qpos
         qvel_out[:] = qvel
         xp, xq, cv = fk_outputs(qpos, qvel)
@@ -1130,7 +1247,7 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         cpos_out[:] = extras["cpos"]
         cnormal_out[:] = extras["cnormal"]
 
-    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None, hfield=None, floor_z=None):
+    def run(qpos, qvel, target, kp, kd, bemf, damping, frictionloss, body_mass, body_ipos, xfrc, terrain=None, hfield=None, floor_z=None, motor_hist=None):
         batch = qpos.shape[1]
         ns = batch // lanes  # sublane-batch rows; env e = ns_row * lanes + lane
         grid = (ns // sub,)
@@ -1159,9 +1276,22 @@ def make_control_step(model: Model, frame_skip: int, dt: float, tb=(8, 256), int
         if has_hf or nt > 0:
             in_specs += [spec(1)]
             args += [floor_z]
+        if motor_apply is not None:
+            # (qd_hist (nu*H,B), ct_hist (nu*H,B), count (1,B)) — joint-major
+            in_specs += [spec(nu * hist_len), spec(nu * hist_len), spec(1)]
+            args += list(motor_hist)
         args = [fold(a) for a in args]
+        if motor_apply is not None:
+            # frozen MLP params: 2D grid-constant blocks, not folded
+            for blk in _motor_param_blocks(motor):
+                in_specs.append(
+                    pl.BlockSpec(blk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                )
+                args.append(jnp.asarray(blk))
 
         out_rows = [nq, nv, nv, nu, 3 * nc, nc, nc, 3 * nc, 3 * nc, 3 * nb, 4 * nb, 6 * nb]
+        if motor_apply is not None:
+            out_rows += [nu * hist_len, nu * hist_len, 1]
         out_shapes = [jax.ShapeDtypeStruct((r, ns, lanes), jnp.float32) for r in out_rows]
         outs = pl.pallas_call(
             kernel,
@@ -1198,7 +1328,7 @@ def kernel_tile(batch: int, prefer: int = 128) -> tuple[int, int] | None:
     return None
 
 
-def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terrain=None, settle=False, reuse_interval=1):
+def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terrain=None, settle=False, reuse_interval=1, motor=None):
     """Same contract as physics.batched.pd_substeps_batched, physics fused
     into one pallas launch per control step. `terrain` is a leading-batch
     engine.Terrain (required when model.nterrain > 0).
@@ -1209,6 +1339,13 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     reuse_interval R: recompute the mass-matrix factorization + contact
     basis only every R substeps (must divide frame_skip; anything else falls
     back to 1 = exact semantics). Twin of pd_substeps_batched's knob.
+
+    motor: optional (motor_params, MotorState-leading-batch) pair — the
+    learned motor-dynamics hook runs INSIDE the fused kernel (weights baked
+    as constants, history carried through the substep loop) and the return
+    value becomes (PhysicsState, MotorState), exactly like
+    pd_substeps_batched(motor=...). Motor kernels pin R=1 (the carried
+    history blocks already add ~2.4 MB to the VMEM working set).
     """
     from learninghumanoidwalking_tpu.physics import batched
     from learninghumanoidwalking_tpu.physics.model import Contact, PhysicsState
@@ -1225,9 +1362,17 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         # (Woodbury note in _build_substep); carrying the reuse cache through
         # the inner loop overflows it (measured 18.5 MB at R=5 on jvrc_step)
         reuse = 1
-    key = (id(model), frame_skip, float(sim_dt), tb, hf_shape, reuse)
+    motor_params = mstate = None
+    if motor is not None:
+        motor_params, mstate = motor
+        reuse = 1
+    key = (id(model), frame_skip, float(sim_dt), tb, hf_shape, reuse,
+           id(motor_params) if motor_params is not None else None)
     if key not in _KERNEL_CACHE:
-        _KERNEL_CACHE[key] = make_control_step(model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape, reuse=reuse)
+        _KERNEL_CACHE[key] = make_control_step(
+            model, frame_skip, sim_dt, tb=tb, hfield_shape=hf_shape, reuse=reuse,
+            motor={k: np.asarray(v) for k, v in motor_params.items()} if motor_params is not None else None,
+        )
     run, nc = _KERNEL_CACHE[key]
 
     params_t = batched._params_to_trailing(params)
@@ -1250,6 +1395,16 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
     if model.nterrain > 0 or has_hf:
         floor_z = jnp.broadcast_to(jnp.reshape(terrain.floor_z, (1, -1)), (1, batch))
 
+    motor_hist = None
+    if motor_params is not None:
+        # leading-batch MotorState (B,H,nu) -> joint-major (nu*H, B) blocks
+        H = mstate.qdot_hist.shape[1]
+        motor_hist = (
+            jnp.transpose(mstate.qdot_hist, (2, 1, 0)).reshape(-1, batch),
+            jnp.transpose(mstate.ctau_hist, (2, 1, 0)).reshape(-1, batch),
+            mstate.count.astype(jnp.float32)[None, :],
+        )
+
     out = run(
         jnp.swapaxes(physics.qpos, 0, 1),
         jnp.swapaxes(physics.qvel, 0, 1),
@@ -1265,8 +1420,9 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         terrain=terrain_blocks,
         hfield=hfield_blocks,
         floor_z=floor_z,
+        motor_hist=motor_hist,
     )
-    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal, xpos_f, xquat_f, cvel_f = out
+    qpos, qvel, qacc, act_torque, cforce, cdist, cmask, cpos, cnormal, xpos_f, xquat_f, cvel_f = out[:12]
 
     # FK caches for observations/rewards come straight from the kernel
     # (computed in-VMEM on the final state — no XLA-side FK rebuild)
@@ -1295,7 +1451,7 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         force=jnp.transpose(cforce.reshape(nc, 3, batch), (2, 0, 1)),
         mask=jnp.swapaxes(cmask, 0, 1),
     )
-    return PhysicsState(
+    state_out = PhysicsState(
         qpos=jnp.swapaxes(qpos, 0, 1),
         qvel=jnp.swapaxes(qvel, 0, 1),
         qacc=jnp.swapaxes(qacc, 0, 1),
@@ -1306,3 +1462,15 @@ def pd_substeps_kernel(model, params, physics, target, frame_skip, sim_dt, terra
         contact=contact,
         time=physics.time + frame_skip * sim_dt,
     )
+    if motor_params is not None:
+        from learninghumanoidwalking_tpu.robots.motor import MotorState
+
+        qd_o, ct_o, cnt_o = out[12:15]
+        nu = model.nu
+        mstate_out = MotorState(
+            qdot_hist=jnp.transpose(qd_o.reshape(nu, H, batch), (2, 1, 0)),
+            ctau_hist=jnp.transpose(ct_o.reshape(nu, H, batch), (2, 1, 0)),
+            count=jnp.round(cnt_o[0]).astype(jnp.int32),
+        )
+        return state_out, mstate_out
+    return state_out

@@ -178,7 +178,7 @@ def test_hfield_kernel_matches_batched():
         hfield_x0y0=jnp.tile(jnp.array([-RX, -RY]), (B, 1)),
         hfield_cell=jnp.tile(jnp.array([2 * RX / (NCOL - 1), 2 * RY / (NROW - 1)]), (B, 1)),
     )
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, (NROW, NCOL), 1)] = sk.make_control_step(
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, (NROW, NCOL), 1, None)] = sk.make_control_step(
         model, 5, 0.001, tb=TB, interpret=True, hfield_shape=(NROW, NCOL)
     )
 

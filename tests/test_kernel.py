@@ -120,7 +120,7 @@ def test_kernel_terrain_matches_batched_engine():
     TB = (1, 8)  # must match kernel_tile(B) so pd_substeps_kernel hits the cache
     NT = 6
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     rng = np.random.default_rng(0)
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
@@ -160,7 +160,7 @@ def test_kernel_side_face_matches_batched():
     TB = (1, 8)
     NT = 2
     model = lower(jvrc_spec(nterrain=NT))
-    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
+    sk._KERNEL_CACHE[(id(model), 5, 0.001, TB, None, 1, None)] = make_control_step(model, 5, 0.001, tb=TB, interpret=True)
 
     pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
     qpos = np.tile(
@@ -204,3 +204,69 @@ def test_kernel_side_face_matches_batched():
     # non-vacuous: at some point an active contact was against the riser
     # (its normal horizontal, pointing -x)
     assert engaged, "no side-face contact engaged"
+
+
+@pytest.mark.slow
+def test_kernel_motor_matches_batched_engine():
+    """Motor-dynamics hook INSIDE the fused kernel (weights baked as
+    constants, joint-major history blocks in the substep carry) vs
+    pd_substeps_batched(motor=...) — which is itself gated bit-exactly
+    against the vmapped single-env hook (tests/test_motor.py). Initial
+    counters straddle the 25-substep warmup boundary AND the even/odd
+    append cadence, so passthrough, first-engagement, and steady-state
+    net-in-the-loop physics are all exercised (robot_interface.py:25-58,
+    :510-533)."""
+    from learninghumanoidwalking_tpu.ops import substep_kernel as sk
+    from learninghumanoidwalking_tpu.robots.motor import (
+        HIST_LEN,
+        MotorState,
+        init_motor_params,
+    )
+
+    TB, B, FRAME_SKIP = (1, 8), 8, 5
+    model = lower(jvrc_spec())
+    motor_params = init_motor_params(jax.random.PRNGKey(7), model.nu)
+    np_params = {k: np.asarray(v) for k, v in motor_params.items()}
+    sk._KERNEL_CACHE[(id(model), FRAME_SKIP, 0.001, TB, None, 1, id(motor_params))] = make_control_step(
+        model, FRAME_SKIP, 0.001, tb=TB, interpret=True, motor=np_params
+    )
+
+    rng = np.random.default_rng(3)
+    pose = np.deg2rad(HALF_SITTING_POSE_DEG).astype(np.float32)
+    qpos = np.tile(
+        np.concatenate([[0, 0, NOMINAL_HEIGHT], [1, 0, 0, 0], pose]).astype(np.float32)[None], (B, 1)
+    )
+    qvel = (0.05 * rng.standard_normal((B, 18))).astype(np.float32)
+    target = jnp.asarray(pose[None] + 0.05 * rng.standard_normal((B, 12)).astype(np.float32))
+    kp = jnp.asarray([200, 200, 200, 250, 80, 80] * 2, jnp.float32)
+    kd = jnp.asarray([20, 20, 20, 25, 8, 8] * 2, jnp.float32)
+    p1 = default_dyn_params(model, kp, kd)
+    params = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), p1)
+
+    # counters straddling warm/engaged and even/odd; histories pre-filled
+    count = jnp.asarray(rng.integers(0, 2 * HIST_LEN, size=B), jnp.int32)
+    mstate = MotorState(
+        qdot_hist=jnp.asarray(0.1 * rng.standard_normal((B, HIST_LEN, model.nu)), jnp.float32),
+        ctau_hist=jnp.asarray(5.0 * rng.standard_normal((B, HIST_LEN, model.nu)), jnp.float32),
+        count=count,
+    )
+
+    states = jax.vmap(lambda q, v: engine.make_state(model, q, v))(jnp.asarray(qpos), jnp.asarray(qvel))
+    st_k, m_k = states, mstate
+    st_b, m_b = states, mstate
+    for _ in range(8):  # 40 substeps: every env crosses warmup
+        st_k, m_k = sk.pd_substeps_kernel(
+            model, params, st_k, target, FRAME_SKIP, 0.001, motor=(motor_params, m_k)
+        )
+        st_b, m_b = batched.pd_substeps_batched(
+            model, params, st_b, target, FRAME_SKIP, 0.001,
+            motor=(motor_params, m_b),
+        )
+
+    np.testing.assert_array_equal(np.asarray(m_k.count), np.asarray(m_b.count))
+    assert int(np.asarray(m_k.count).min()) >= 40  # counters advanced every substep
+    np.testing.assert_allclose(np.asarray(m_k.qdot_hist), np.asarray(m_b.qdot_hist), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m_k.ctau_hist), np.asarray(m_b.ctau_hist), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(st_k.qpos), np.asarray(st_b.qpos), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_k.qvel), np.asarray(st_b.qvel), atol=2e-3)
+    assert np.all(np.isfinite(np.asarray(st_k.qpos)))
